@@ -1,0 +1,261 @@
+"""Functional set-associative HBM feature cache.
+
+TPU-native re-design of the reference's GPU feature cache
+(reference: COALA_GNN_Modules/nvshmem_cache.h + isolated_cache.h): the
+reference needs seqlocks, warp-cooperative probes and atomics because many
+CUDA warps mutate the cache concurrently (nvshmem_cache.h:339-480). Under XLA
+the cache is a pytree of arrays updated batch-synchronously inside jit with
+scatter ops — races are impossible by construction, no locks exist
+(SURVEY.md §5 "race detection").
+
+Geometry parity (so cache-size configs mean the same thing):
+  - ways = 32                                  (ssd_gnn_cache.cuh:61)
+  - cache_dim rounds the feature dim up to {128, 256, 512, 1024}
+                                               (ssd_gnn_cache.cuh:34-47)
+  - num_pages = cache_MB * 2^20 / (cache_dim * 4), num_sets = num_pages / 32
+                                               (ssd_gnn_cache.cuh:96-97)
+  - private set index:      id % num_sets      (isolated_cache.h:184-188)
+  - distributed set index: (id / n_dev) % num_sets, owner = id % n_dev
+                                               (nvshmem_cache.h:192-196,
+                                                cache_kernel.cu:11)
+  - round-robin eviction per set               (nvshmem_cache.h:200-212)
+  - per-color occupancy counters feeding the seed distributor
+                                               (nvshmem_cache.h:430-446)
+  - hit/miss counters reset on stats read      (nvshmem_cache.h:133-142)
+
+All ops are pure: ``state2 = insert(cfg, state, ...)``. ids are int32 on
+device (node ids < 2^31 for every supported dataset; asserted at init).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WAYS = 32  # reference: ssd_gnn_cache.cuh:61
+
+
+def round_cache_dim(dim: int) -> int:
+    """Feature dim -> cache line dim {128, 256, 512, 1024}
+    (reference: ssd_gnn_cache.cuh:34-47). Dims above 1024 round up to the
+    next multiple of 128 (the reference errors out there; we generalize)."""
+    for d in (128, 256, 512, 1024):
+        if dim <= d:
+            return d
+    return ((dim + 127) // 128) * 128
+
+
+@dataclasses.dataclass(frozen=True)
+class CacheConfig:
+    num_sets: int
+    ways: int
+    dim: int            # true feature dim
+    cache_dim: int      # padded line dim
+    num_colors: int     # 0 disables color tracking
+    num_shards: int = 1  # devices the distributed cache spans (1 = private)
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def capacity(self) -> int:
+        return self.num_sets * self.ways
+
+    @property
+    def size_mb(self) -> float:
+        bytes_per = jnp.dtype(self.dtype).itemsize
+        return self.capacity * self.cache_dim * bytes_per / 2**20
+
+
+class CacheState(NamedTuple):
+    tags: jax.Array          # int32 [num_sets, ways], -1 = empty
+    data: jax.Array          # dtype [num_sets, ways, cache_dim]
+    rr: jax.Array            # int32 [num_sets] round-robin cursor
+    color_counts: jax.Array  # int32 [num_colors + 1] occupancy by color
+    hits: jax.Array          # int32 [] since last stats reset
+    misses: jax.Array        # int32 []
+
+
+def make_config(cache_mb: int, dim: int, num_colors: int = 0,
+                num_shards: int = 1, dtype=jnp.float32,
+                min_sets: int = 1) -> CacheConfig:
+    cache_dim = round_cache_dim(dim)
+    bytes_per = jnp.dtype(dtype).itemsize
+    page = cache_dim * bytes_per
+    num_pages = max(int(cache_mb) * 2**20 // page, WAYS)
+    num_sets = max(num_pages // WAYS, min_sets)
+    return CacheConfig(num_sets=num_sets, ways=WAYS, dim=dim,
+                       cache_dim=cache_dim, num_colors=num_colors,
+                       num_shards=num_shards, dtype=dtype)
+
+
+def init_state(cfg: CacheConfig) -> CacheState:
+    return CacheState(
+        tags=jnp.full((cfg.num_sets, cfg.ways), -1, dtype=jnp.int32),
+        data=jnp.zeros((cfg.num_sets, cfg.ways, cfg.cache_dim), dtype=cfg.dtype),
+        rr=jnp.zeros(cfg.num_sets, dtype=jnp.int32),
+        color_counts=jnp.zeros(cfg.num_colors + 1, dtype=jnp.int32),
+        hits=jnp.zeros((), dtype=jnp.int32),
+        misses=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def set_index(cfg: CacheConfig, ids: jax.Array) -> jax.Array:
+    """Private: id % num_sets. Distributed: (id // num_shards) % num_sets."""
+    if cfg.num_shards > 1:
+        return (ids // cfg.num_shards) % cfg.num_sets
+    return ids % cfg.num_sets
+
+
+def lookup(cfg: CacheConfig, state: CacheState, ids: jax.Array,
+           valid: jax.Array, count_stats: bool = True
+           ) -> Tuple[CacheState, jax.Array, jax.Array]:
+    """Probe the cache for ``ids`` (int32 [n]); ``valid`` bool [n] masks
+    padding slots. Returns (state', feats [n, dim], hit bool [n]); feats rows
+    for misses/invalid are zero.
+
+    The warp-strided tag compare + ballot of the reference
+    (nvshmem_cache.h:148-175) becomes a vectorized compare over the set's
+    ways + argmax — one gather per request row."""
+    sets = set_index(cfg, ids)                       # [n]
+    way_tags = state.tags[sets]                      # [n, ways]
+    match = way_tags == ids[:, None]                 # [n, ways]
+    hit = match.any(axis=1) & valid
+    way = jnp.argmax(match, axis=1)                  # first matching way
+    feats = state.data[sets, way, : cfg.dim]         # [n, dim]
+    feats = jnp.where(hit[:, None], feats, 0).astype(cfg.dtype)
+    if count_stats:
+        n_hit = hit.sum(dtype=jnp.int32)
+        n_valid = valid.sum(dtype=jnp.int32)
+        state = state._replace(hits=state.hits + n_hit,
+                               misses=state.misses + (n_valid - n_hit))
+    return state, feats, hit
+
+
+def insert(cfg: CacheConfig, state: CacheState, ids: jax.Array,
+           feats: jax.Array, valid: jax.Array) -> CacheState:
+    """Admit rows into the cache. ids int32 [n] (must be unique among valid
+    entries — the sampler's dedup guarantees this), feats [n, dim],
+    valid bool [n], colors int32 [n] (1-based; 0 = uncolored).
+
+    Placement: if the id is already resident, refresh its way in place;
+    otherwise claim ways round-robin from the set cursor. Multiple new
+    arrivals to one set claim consecutive ways via their within-set
+    occurrence rank (the batch-synchronous equivalent of the reference's
+    lock + rr_evict sequence, nvshmem_cache.h:417-446)."""
+    n = ids.shape[0]
+    sets = set_index(cfg, ids)
+
+    # Existing-way refresh?
+    way_tags = state.tags[sets]
+    match = way_tags == ids[:, None]
+    already = match.any(axis=1)
+    match_way = jnp.argmax(match, axis=1)
+
+    # Within-set occurrence rank among NEW valid insertions.
+    is_new = valid & ~already
+    sort_key = jnp.where(is_new, sets, cfg.num_sets)  # invalid sorts last
+    order = jnp.argsort(sort_key, stable=True)
+    sorted_key = sort_key[order]
+    # rank within equal-key run
+    first_of_run = jnp.searchsorted(sorted_key, sorted_key, side="left")
+    rank_sorted = jnp.arange(n, dtype=jnp.int32) - first_of_run.astype(jnp.int32)
+    rank = jnp.zeros(n, dtype=jnp.int32).at[order].set(rank_sorted)
+
+    new_way = (state.rr[sets] + rank) % cfg.ways
+    way = jnp.where(already, match_way, new_way)
+
+    # Victim bookkeeping for color counters.
+    victim_tag = state.tags[sets, way]
+    victim_valid = (victim_tag >= 0) & is_new
+
+    # Scatter updates (drop invalid rows).
+    drop_sets = jnp.where(valid, sets, cfg.num_sets)  # OOB -> dropped
+    pad = jnp.zeros((n, cfg.cache_dim - cfg.dim), dtype=cfg.dtype)
+    lines = jnp.concatenate([feats.astype(cfg.dtype), pad], axis=1)
+    tags = state.tags.at[drop_sets, way].set(ids, mode="drop")
+    data = state.data.at[drop_sets, way].set(lines, mode="drop")
+
+    # Advance each set's cursor by how many new lines it admitted.
+    per_set_new = jnp.zeros(cfg.num_sets, dtype=jnp.int32).at[
+        jnp.where(is_new, sets, cfg.num_sets)].add(1, mode="drop")
+    rr = (state.rr + per_set_new) % cfg.ways
+
+    return CacheState(tags=tags, data=data, rr=rr,
+                      color_counts=state.color_counts,
+                      hits=state.hits, misses=state.misses)
+
+
+class ColoredCacheState(NamedTuple):
+    """CacheState + per-line color side table (the reference stores colors
+    per cacheline to decrement the right counter on eviction,
+    nvshmem_cache.h:430-446)."""
+    base: CacheState
+    line_colors: jax.Array   # int32 [num_sets, ways], 0 = uncolored/empty
+
+
+def init_colored_state(cfg: CacheConfig) -> ColoredCacheState:
+    return ColoredCacheState(
+        base=init_state(cfg),
+        line_colors=jnp.zeros((cfg.num_sets, WAYS), dtype=jnp.int32))
+
+
+def insert_with_colors(cfg: CacheConfig, cstate: ColoredCacheState,
+                       ids: jax.Array, feats: jax.Array, valid: jax.Array,
+                       colors: jax.Array) -> ColoredCacheState:
+    """insert() + color occupancy accounting."""
+    state = cstate.base
+    n = ids.shape[0]
+    sets = set_index(cfg, ids)
+    way_tags = state.tags[sets]
+    match = way_tags == ids[:, None]
+    already = match.any(axis=1)
+    match_way = jnp.argmax(match, axis=1)
+    is_new = valid & ~already
+
+    sort_key = jnp.where(is_new, sets, cfg.num_sets)
+    order = jnp.argsort(sort_key, stable=True)
+    sorted_key = sort_key[order]
+    first_of_run = jnp.searchsorted(sorted_key, sorted_key, side="left")
+    rank_sorted = jnp.arange(n, dtype=jnp.int32) - first_of_run.astype(jnp.int32)
+    rank = jnp.zeros(n, dtype=jnp.int32).at[order].set(rank_sorted)
+
+    new_way = (state.rr[sets] + rank) % cfg.ways
+    way = jnp.where(already, match_way, new_way)
+    victim_color = cstate.line_colors[sets, way]
+
+    drop_sets = jnp.where(valid, sets, cfg.num_sets)
+    pad = jnp.zeros((n, cfg.cache_dim - cfg.dim), dtype=cfg.dtype)
+    lines = jnp.concatenate([feats.astype(cfg.dtype), pad], axis=1)
+    tags = state.tags.at[drop_sets, way].set(ids, mode="drop")
+    data = state.data.at[drop_sets, way].set(lines, mode="drop")
+    line_colors = cstate.line_colors.at[
+        jnp.where(is_new, sets, cfg.num_sets), way].set(colors, mode="drop")
+
+    per_set_new = jnp.zeros(cfg.num_sets, dtype=jnp.int32).at[
+        jnp.where(is_new, sets, cfg.num_sets)].add(1, mode="drop")
+    rr = (state.rr + per_set_new) % cfg.ways
+
+    # Occupancy: -victim color (only when a new line actually replaced it),
+    # +incoming color, both dropped at slot 0 (color 0 = untracked).
+    cc = state.color_counts
+    dec_idx = jnp.where(is_new & (victim_color > 0), victim_color, 0)
+    inc_idx = jnp.where(is_new & (colors > 0), colors, 0)
+    cc = cc.at[dec_idx].add(-1).at[inc_idx].add(1)
+    cc = cc.at[0].set(0)  # slot 0 is scratch, keep it clean
+
+    base = CacheState(tags=tags, data=data, rr=rr, color_counts=cc,
+                      hits=state.hits, misses=state.misses)
+    return ColoredCacheState(base=base, line_colors=line_colors)
+
+
+def stats(state: CacheState) -> Tuple[CacheState, dict]:
+    """Read + reset hit/miss counters (reference resets on every
+    print_stats, nvshmem_cache.h:133-142)."""
+    h, m = int(state.hits), int(state.misses)
+    state = state._replace(hits=jnp.zeros((), jnp.int32),
+                           misses=jnp.zeros((), jnp.int32))
+    ratio = h / (h + m) if (h + m) else 0.0
+    return state, {"hits": h, "misses": m, "hit_ratio": ratio}

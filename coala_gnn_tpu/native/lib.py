@@ -1,0 +1,160 @@
+"""ctypes bindings + on-demand build for the native C++ kernels.
+
+The shared library is compiled once per machine with g++ -O3 -fopenmp and
+cached next to the source; a rebuild triggers automatically when the .cpp is
+newer than the .so. (The reference ships a CMake + pybind11 CUDA build,
+CMakeLists.txt:1-81; here the native surface is a small C ABI, so a one-line
+compile is the whole build system.)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "coala_native.cpp")
+_SO = os.path.join(_DIR, "libcoala_native.so")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+
+_i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+
+
+def _build() -> None:
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+           "-std=c++17", _SRC, "-o", _SO]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def get() -> ctypes.CDLL:
+    """Load (building if needed) and return the typed CDLL handle."""
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+
+        lib.cg_sample_layer.argtypes = [
+            _i64p, ctypes.c_void_p, ctypes.c_int, _i64p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_uint64, _i64p, _f32p]
+        lib.cg_sample_layer.restype = None
+
+        lib.cg_color_graph.argtypes = [
+            _i64p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int64,
+            _i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_double,
+            ctypes.c_uint64, _i64p, _i32p]
+        lib.cg_color_graph.restype = ctypes.c_int64
+
+        lib.cg_color_affinity.argtypes = [
+            _i64p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int64,
+            _i64p, _i32p, ctypes.c_int64, ctypes.c_int, _i64p, _f64p]
+        lib.cg_color_affinity.restype = None
+
+        lib.cg_distribute_affinity.argtypes = [
+            _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int64, _i64p, _i64p, _f64p, ctypes.c_int,
+            ctypes.c_int64, _i32p, _i32p]
+        lib.cg_distribute_affinity.restype = None
+
+        lib.cg_gather_rows_f32.argtypes = [
+            _f32p, ctypes.c_int64, _i64p, ctypes.c_int64, _f32p]
+        lib.cg_gather_rows_f32.restype = None
+
+        _LIB = lib
+        return lib
+
+
+def _indices_arg(indices: np.ndarray) -> Tuple[ctypes.c_void_p, int]:
+    if indices.dtype == np.int32:
+        width = 4
+    elif indices.dtype == np.int64:
+        width = 8
+    else:
+        raise TypeError(f"indices dtype {indices.dtype} unsupported")
+    return indices.ctypes.data_as(ctypes.c_void_p), width
+
+
+def sample_layer(lib: ctypes.CDLL, graph, dst_ids: np.ndarray, fanout: int,
+                 seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    dst_ids = np.ascontiguousarray(dst_ids, dtype=np.int64)
+    n = dst_ids.shape[0]
+    nbr = np.empty((n, fanout), dtype=np.int64)
+    mask = np.empty((n, fanout), dtype=np.float32)
+    idx_ptr, width = _indices_arg(graph.indices)
+    lib.cg_sample_layer(graph.indptr, idx_ptr, width, dst_ids, n, fanout,
+                        seed & (2**64 - 1), nbr, mask)
+    return nbr, mask
+
+
+def color_graph(lib: ctypes.CDLL, graph, train_ids: np.ndarray,
+                max_hop: int = 10, base_rate: float = 0.005,
+                seed: int = 0) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Returns (num_colors, color [N] int64, hop [N] int32)."""
+    train_ids = np.ascontiguousarray(train_ids, dtype=np.int64)
+    n = graph.num_nodes
+    color = np.empty(n, dtype=np.int64)
+    hop = np.empty(n, dtype=np.int32)
+    idx_ptr, width = _indices_arg(graph.indices)
+    num_colors = lib.cg_color_graph(graph.indptr, idx_ptr, width, n,
+                                    train_ids, train_ids.shape[0], max_hop,
+                                    base_rate, seed & (2**64 - 1), color, hop)
+    return int(num_colors), color, hop
+
+
+def color_affinity(lib: ctypes.CDLL, graph, color: np.ndarray,
+                   hop: np.ndarray, num_colors: int, topk: int = 10
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (topk [C, K] int64, score [C, K] float64)."""
+    color = np.ascontiguousarray(color, dtype=np.int64)
+    hop = np.ascontiguousarray(hop, dtype=np.int32)
+    topk_out = np.zeros((num_colors, topk), dtype=np.int64)
+    score_out = np.zeros((num_colors, topk), dtype=np.float64)
+    idx_ptr, width = _indices_arg(graph.indices)
+    lib.cg_color_affinity(graph.indptr, idx_ptr, width, graph.num_nodes,
+                          color, hop, num_colors, topk, topk_out, score_out)
+    return topk_out, score_out
+
+
+def distribute_affinity(lib: ctypes.CDLL, item: np.ndarray, offset: int,
+                        item_len: int, num_parts: int, capacity: int,
+                        color: np.ndarray, topk_colors: np.ndarray,
+                        affinity: np.ndarray, meta: np.ndarray) -> np.ndarray:
+    """meta: int32 [num_parts, num_colors+1]; returns int32 [item_len]."""
+    item = np.ascontiguousarray(item, dtype=np.int64)
+    color = np.ascontiguousarray(color, dtype=np.int64)
+    topk_colors = np.ascontiguousarray(topk_colors, dtype=np.int64)
+    affinity = np.ascontiguousarray(affinity, dtype=np.float64)
+    meta = np.ascontiguousarray(meta, dtype=np.int32)
+    num_colors, topk = topk_colors.shape
+    if meta.shape != (num_parts, num_colors + 1):
+        raise ValueError(f"meta shape {meta.shape} != ({num_parts}, {num_colors + 1})")
+    out = np.empty(item_len, dtype=np.int32)
+    lib.cg_distribute_affinity(item, offset, item_len, num_parts, capacity,
+                               color, topk_colors.reshape(-1),
+                               affinity.reshape(-1), topk, num_colors,
+                               meta.reshape(-1), out)
+    return out
+
+
+def gather_rows(lib: ctypes.CDLL, features: np.ndarray, ids: np.ndarray,
+                out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Parallel out[i] = features[ids[i]]; ids < 0 -> zero rows."""
+    if features.dtype != np.float32 or features.ndim != 2:
+        raise TypeError("features must be float32 [n, dim]")
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    if out is None:
+        out = np.empty((ids.shape[0], features.shape[1]), dtype=np.float32)
+    lib.cg_gather_rows_f32(features, features.shape[1], ids, ids.shape[0], out)
+    return out

@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Mini-batch GNN training entry point.
+
+User-facing equivalent of the reference trainer
+(reference: examples/sbatch_ssd_gnn_train.py) with the same flag surface
+(:201-248) where it applies to the TPU build: model_type, fan_out, batch_size,
+hidden_channels, learning_rate, epochs, num_layers, num_heads, cache_size,
+distribution, refresh_counter. SLURM/MPI bootstrap is replaced by
+single-process-per-host JAX; DDP by pjit data parallelism.
+
+Examples:
+  python examples/train.py --data synthetic --model_type sage --fan_out 5,5
+  python examples/train.py --data synthetic --model_type gat --epochs 2
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native COALA-GNN trainer")
+    # Reference flag surface (sbatch_ssd_gnn_train.py:201-248), TPU-relevant subset.
+    p.add_argument("--path", type=str, default="")
+    p.add_argument("--data", type=str, default="synthetic",
+                   help="synthetic | ogbn-arxiv | igb | preprocessed dir")
+    p.add_argument("--dataset_size", type=str, default="tiny")
+    p.add_argument("--num_classes", type=int, default=16)
+    p.add_argument("--model_type", type=str, default="sage",
+                   choices=["sage", "distsage", "gcn", "gat"])
+    p.add_argument("--fan_out", type=str, default="5,5")
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--hidden_channels", type=int, default=128)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--decay", type=float, default=0.0)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--num_layers", type=int, default=None,
+                   help="defaults to len(fan_out)")
+    p.add_argument("--num_heads", type=int, default=4)
+    p.add_argument("--cache_size", type=int, default=0,
+                   help="feature cache MB; 0 = direct host gather")
+    p.add_argument("--distribution", type=str, default="baseline",
+                   choices=["baseline", "node_color"])
+    p.add_argument("--refresh_counter", type=int, default=8)
+    p.add_argument("--color_dir", type=str, default="",
+                   help="dir with color.npy/topk.npy/score.npy for node_color")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval", action="store_true", help="run test eval at end")
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="truncate each epoch (0 = full epoch)")
+    # synthetic dataset knobs
+    p.add_argument("--num_nodes", type=int, default=100_000)
+    p.add_argument("--avg_degree", type=int, default=15)
+    p.add_argument("--feature_dim", type=int, default=128)
+    p.add_argument("--platform", type=str, default="",
+                   help="force jax platform (cpu for smoke tests)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from coala_gnn_tpu.graph.datasets import load_dataset, load_ogbn_arxiv, synthetic_graph
+    from coala_gnn_tpu.sampling.neighbor import NeighborSampler
+    from coala_gnn_tpu.models import blocks_to_device, make_model
+    from coala_gnn_tpu.parallel.train import init_state, make_eval_step, make_train_step
+    from coala_gnn_tpu.distribution import DistributionScheduler, SeedDistributor
+    from coala_gnn_tpu.coloring import load_color_metadata
+
+    print(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    fanouts = [int(f) for f in args.fan_out.split(",")]
+    num_layers = args.num_layers or len(fanouts)
+    assert num_layers == len(fanouts), "--num_layers must match fan_out"
+
+    if args.data == "synthetic":
+        ds = synthetic_graph(num_nodes=args.num_nodes, avg_degree=args.avg_degree,
+                             feature_dim=args.feature_dim,
+                             num_classes=args.num_classes, seed=args.seed)
+    elif args.data == "ogbn-arxiv":
+        ds = load_ogbn_arxiv(args.path or "/root/data/ogb")
+    else:
+        ds = load_dataset(args.data, path=args.path,
+                          dataset_size=args.dataset_size,
+                          num_classes=args.num_classes)
+    print(f"dataset {ds.name}: {ds.graph.num_nodes} nodes, "
+          f"{ds.graph.num_edges} edges, dim {ds.feature_dim}, "
+          f"{ds.num_classes} classes, {len(ds.train_idx)} train")
+
+    B = args.batch_size
+    sampler = NeighborSampler(ds.graph, fanouts, B, seed=args.seed)
+    print(f"sampler native: {sampler._native is not None}")
+
+    # Seed distribution: single host => 1 part; still exercises the same
+    # scheduler/distributor machinery as multi-host.
+    meta = None
+    if args.distribution == "node_color":
+        meta = load_color_metadata(args.color_dir)
+    distributor = SeedDistributor(
+        ds.train_idx, batch_size=B, local_size=1, num_parts=1,
+        mode=args.distribution,
+        color=None if meta is None else meta.color,
+        topk_colors=None if meta is None else meta.topk,
+        affinity=None if meta is None else meta.score,
+        shuffle_seed=args.seed)
+    scheduler = DistributionScheduler(distributor, part_id=0, local_rank=0,
+                                      refresh_counter=args.refresh_counter)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = make_model(args.model_type, hidden=args.hidden_channels,
+                       num_classes=ds.num_classes, num_layers=num_layers,
+                       num_heads=args.num_heads, dtype=dtype)
+    tx = optax.adamw(args.learning_rate, weight_decay=args.decay) \
+        if args.decay else optax.adam(args.learning_rate)
+
+    def fetch(ids):
+        return jnp.asarray(ds.features[ids])
+
+    batch0 = sampler.sample(scheduler.run())
+    scheduler.reset(args.seed)
+    db0 = blocks_to_device(batch0.blocks)
+    x0 = fetch(batch0.input_ids)
+    state = init_state(model, tx, db0, x0, seed=args.seed)
+    params, opt_state = state.params, state.opt_state
+    train_step = make_train_step(model, tx, B)
+    key = jax.random.key(args.seed)
+
+    steps_per_epoch = distributor.num_iters
+    if args.max_steps:
+        steps_per_epoch = min(steps_per_epoch, args.max_steps)
+
+    sampled_total = 0
+    for epoch in range(args.epochs):
+        t0 = time.perf_counter()
+        agg_time = 0.0
+        loss = acc = None
+        for it in range(steps_per_epoch):
+            seeds = sampler.sample(scheduler.run())
+            ta = time.perf_counter()
+            dblocks = blocks_to_device(seeds.blocks)
+            x = fetch(seeds.input_ids)
+            agg_time += time.perf_counter() - ta
+            labels = jnp.asarray(ds.labels[seeds.seeds].astype(np.int32))
+            key, sub = jax.random.split(key)
+            params, opt_state, loss, acc = train_step(params, opt_state, sub,
+                                                      dblocks, x, labels)
+            sampled_total += seeds.num_input
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+        # Per-epoch print parity (sbatch_ssd_gnn_train.py:147-150).
+        print(f"Epoch {epoch} | loss {float(loss):.4f} | batch acc "
+              f"{float(acc):.4f} | Epoch Time: {dt:.3f}s | feature agg time "
+              f"{agg_time:.3f}s | sampled nodes {sampled_total}")
+        scheduler.reset(args.seed + epoch + 1)
+
+    if args.eval:
+        eval_step = make_eval_step(model, B)
+        correct = total = 0
+        n_eval = len(ds.test_idx) // B
+        for i in range(n_eval):
+            seeds = ds.test_idx[i * B:(i + 1) * B]
+            batch = sampler.sample(seeds)
+            dblocks = blocks_to_device(batch.blocks)
+            x = fetch(batch.input_ids)
+            labels = jnp.asarray(ds.labels[batch.seeds].astype(np.int32))
+            c, t = eval_step(params, dblocks, x, labels)
+            correct += int(c)
+            total += int(t)
+        print(f"Test accuracy: {correct / max(total, 1):.4f} ({total} nodes)")
+
+
+if __name__ == "__main__":
+    main()

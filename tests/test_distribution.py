@@ -1,0 +1,123 @@
+import numpy as np
+import pytest
+
+from coala_gnn_tpu.coloring import generate_color_metadata
+from coala_gnn_tpu.distribution import (
+    DistributionScheduler,
+    SeedDistributor,
+    greedy_affinity_assign,
+)
+
+
+@pytest.fixture(scope="module")
+def colored(request):
+    ds = request.getfixturevalue("small_dataset")
+    meta = generate_color_metadata(ds.graph, ds.train_idx, base_rate=0.02, seed=0)
+    return ds, meta
+
+
+# make module-scoped fixture able to see session fixture
+@pytest.fixture(scope="module")
+def small_dataset():
+    from coala_gnn_tpu.graph.datasets import synthetic_graph
+    return synthetic_graph(num_nodes=2000, avg_degree=10, feature_dim=32,
+                           num_classes=8, seed=7)
+
+
+def test_greedy_native_matches_python(colored):
+    ds, meta = colored
+    num_parts, cap = 4, 64
+    rng = np.random.default_rng(0)
+    cache_meta = rng.integers(0, 50, size=(num_parts, meta.num_colors + 1)).astype(np.int32)
+    seeds = ds.train_idx[: num_parts * cap]
+    a_native = greedy_affinity_assign(seeds, meta.color, meta.topk, meta.score,
+                                      cache_meta, cap, use_native=True)
+    a_py = greedy_affinity_assign(seeds, meta.color, meta.topk, meta.score,
+                                  cache_meta, cap, use_native=False)
+    np.testing.assert_array_equal(a_native, a_py)
+
+
+def test_greedy_respects_capacity_and_scores(colored):
+    ds, meta = colored
+    num_parts, cap = 3, 50
+    # Part 1's cache is crammed with every color -> should win most seeds
+    # until it hits capacity.
+    cache_meta = np.zeros((num_parts, meta.num_colors + 1), dtype=np.int32)
+    cache_meta[1, :] = 100
+    seeds = ds.train_idx[: num_parts * cap]
+    assign = greedy_affinity_assign(seeds, meta.color, meta.topk, meta.score,
+                                    cache_meta, cap)
+    counts = np.bincount(assign, minlength=num_parts)
+    assert counts[1] == cap                      # filled first
+    assert counts.sum() == num_parts * cap
+    assert (counts <= cap).all()
+
+
+def test_distributor_baseline_striping(colored):
+    ds, _ = colored
+    d = SeedDistributor(ds.train_idx, batch_size=8, local_size=2, num_parts=2,
+                        mode="baseline", shuffle_seed=1)
+    out = d.distribute(0)
+    assert out.shape == (2, 16)
+    window = d.items[:32]
+    np.testing.assert_array_equal(out[0], window[:16])
+    np.testing.assert_array_equal(out[1], window[16:])
+    # device slices partition the domain
+    np.testing.assert_array_equal(d.device_slice(out[0], 0), out[0][:8])
+    np.testing.assert_array_equal(d.device_slice(out[0], 1), out[0][8:])
+
+
+def test_distributor_node_color_partitions_window(colored):
+    ds, meta = colored
+    d = SeedDistributor(ds.train_idx, batch_size=8, local_size=2, num_parts=2,
+                        mode="node_color", color=meta.color,
+                        topk_colors=meta.topk, affinity=meta.score,
+                        shuffle_seed=1)
+    cache_meta = np.random.default_rng(3).integers(
+        0, 20, size=(2, meta.num_colors + 1)).astype(np.int32)
+    out = d.distribute(0, cache_meta)
+    window = d.items[: d.global_batch]
+    # the two domain slices are a permutation of the window
+    np.testing.assert_array_equal(np.sort(out.reshape(-1)), np.sort(window))
+
+
+def test_distributor_deterministic_across_replicas(colored):
+    """Two independently-constructed distributors (as on two hosts) must
+    produce identical assignments from identical inputs."""
+    ds, meta = colored
+    mk = lambda: SeedDistributor(ds.train_idx, batch_size=8, local_size=2,
+                                 num_parts=2, mode="node_color",
+                                 color=meta.color, topk_colors=meta.topk,
+                                 affinity=meta.score, shuffle_seed=9)
+    cache_meta = np.random.default_rng(5).integers(
+        0, 20, size=(2, meta.num_colors + 1)).astype(np.int32)
+    np.testing.assert_array_equal(mk().distribute(3, cache_meta),
+                                  mk().distribute(3, cache_meta))
+
+
+def test_scheduler_pipeline_covers_stream(colored):
+    ds, meta = colored
+    B, L, P = 8, 2, 2
+    d = SeedDistributor(ds.train_idx, batch_size=B, local_size=L, num_parts=P,
+                        mode="node_color", color=meta.color,
+                        topk_colors=meta.topk, affinity=meta.score,
+                        shuffle_seed=0)
+    meta_calls = []
+
+    def meta_fn():
+        meta_calls.append(1)
+        return np.ones(meta.num_colors + 1, dtype=np.int32)
+
+    sched = DistributionScheduler(d, part_id=0, local_rank=1,
+                                  meta_fn=meta_fn, refresh_counter=4)
+    seen = []
+    n = min(d.num_iters, 9)
+    for _ in range(n):
+        seeds = sched.run()
+        assert seeds.shape == (B,)
+        seen.append(seeds)
+    # refresh cadence: ceil(n/4) exchanges
+    assert len(meta_calls) == (n + 3) // 4
+    sched.reset()
+    s2 = sched.run()
+    assert s2.shape == (B,)

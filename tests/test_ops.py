@@ -1,0 +1,58 @@
+import numpy as np
+import jax.numpy as jnp
+
+from coala_gnn_tpu.ops.aggregate import (
+    padded_gather_sum,
+    padded_gather_sum_dense,
+    padded_mean,
+)
+from coala_gnn_tpu.ops.segment import segment_softmax, spmm_coo
+
+
+def test_padded_gather_sum_matches_dense_and_numpy(rng):
+    n_src, n_dst, fanout, dim = 50, 20, 6, 8
+    x = rng.normal(size=(n_src, dim)).astype(np.float32)
+    adj = rng.integers(0, n_src, size=(n_dst, fanout)).astype(np.int32)
+    w = rng.normal(size=(n_dst, fanout)).astype(np.float32)
+
+    want = np.einsum("nfd,nf->nd", x[adj], w)
+    got_loop = padded_gather_sum(jnp.asarray(x), jnp.asarray(adj), jnp.asarray(w))
+    got_dense = padded_gather_sum_dense(jnp.asarray(x), jnp.asarray(adj), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(got_loop), want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_dense), want, rtol=1e-5, atol=1e-5)
+
+
+def test_padded_mean_masked(rng):
+    x = rng.normal(size=(10, 4)).astype(np.float32)
+    adj = np.array([[0, 1, 2], [3, 0, 0]], dtype=np.int32)
+    mask = np.array([[1, 1, 0], [0, 0, 0]], dtype=np.float32)
+    out = np.asarray(padded_mean(jnp.asarray(x), jnp.asarray(adj), jnp.asarray(mask)))
+    np.testing.assert_allclose(out[0], (x[0] + x[1]) / 2, rtol=1e-6)
+    # fully-masked row (isolated node) -> zeros
+    np.testing.assert_allclose(out[1], np.zeros(4), atol=0)
+
+
+def test_spmm_coo(rng):
+    n_src, n_dst, n_edges, dim = 30, 25, 100, 6
+    x = rng.normal(size=(n_src, dim)).astype(np.float32)
+    es = rng.integers(0, n_src, n_edges)
+    ed = rng.integers(0, n_dst, n_edges)
+    w = rng.normal(size=n_edges).astype(np.float32)
+    out = np.asarray(spmm_coo(jnp.asarray(x), jnp.asarray(es), jnp.asarray(ed),
+                              n_dst, jnp.asarray(w)))
+    want = np.zeros((n_dst, dim), np.float32)
+    for e in range(n_edges):
+        want[ed[e]] += w[e] * x[es[e]]
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_segment_softmax(rng):
+    scores = rng.normal(size=12).astype(np.float32)
+    seg = np.array([0, 0, 0, 1, 1, 2, 2, 2, 2, 3, 3, 3])
+    out = np.asarray(segment_softmax(jnp.asarray(scores), jnp.asarray(seg), 4))
+    for s in range(4):
+        m = seg == s
+        np.testing.assert_allclose(out[m], np.exp(scores[m] - scores[m].max())
+                                   / np.exp(scores[m] - scores[m].max()).sum(),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(out[m].sum(), 1.0, rtol=1e-5)

@@ -1,0 +1,97 @@
+import numpy as np
+import pytest
+
+from coala_gnn_tpu.sampling.neighbor import (
+    NeighborSampler,
+    block_capacities,
+    max_sample_size,
+)
+
+
+def test_capacities_match_reference_rule():
+    # max_sample_size = batch x prod(fanout+1)  (COALA_GNN_Manager.py:79-81)
+    assert max_sample_size(1024, [5, 5]) == 1024 * 36
+    assert max_sample_size(1024, [10, 5, 5]) == 1024 * 11 * 36
+    caps = block_capacities(4, [10, 5])
+    # output layer: dst=batch=4, src cap = 4*(5+1)=24
+    assert caps[-1] == (4, 24)
+    # input layer: dst = 24, src cap = 24*(10+1)
+    assert caps[0] == (24, 24 * 11)
+    assert caps[0][1] == max_sample_size(4, [10, 5])
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_sampled_block_invariants(small_dataset, use_native):
+    ds = small_dataset
+    B, fanouts = 32, [5, 3]
+    s = NeighborSampler(ds.graph, fanouts, B, seed=1, use_native=use_native)
+    seeds = ds.train_idx[:B]
+    batch = s.sample(seeds)
+
+    assert len(batch.blocks) == 2
+    out_block = batch.blocks[-1]
+    in_block = batch.blocks[0]
+
+    # dst prefix contract: output block's first num_dst src ids are the seeds
+    np.testing.assert_array_equal(out_block.src_ids[:B], seeds)
+    assert out_block.num_dst == B
+
+    # inner block's dst = outer block's valid src
+    np.testing.assert_array_equal(
+        in_block.src_ids[: out_block.num_src],
+        out_block.src_ids[: out_block.num_src])
+    assert in_block.num_dst == out_block.num_src
+
+    for blk in batch.blocks:
+        # every masked-valid adj entry maps to a real neighbor
+        valid_src = blk.src_ids[: blk.num_src]
+        assert np.unique(valid_src).size == blk.num_src  # dedup worked
+        for i in range(blk.num_dst):
+            dst = blk.src_ids[i]
+            nbrs = set(ds.graph.in_neighbors(dst).tolist())
+            deg = len(ds.graph.in_neighbors(dst))
+            got = 0
+            for k in range(blk.fanout):
+                if blk.mask[i, k] > 0:
+                    assert blk.src_ids[blk.adj[i, k]] in nbrs
+                    got += 1
+            # mask count semantics: min(deg_multiset, fanout)... with
+            # duplicate edges deg counts multiplicity; valid slots equal
+            # min(deg, fanout)
+            full_deg = int(ds.graph.in_degrees(np.array([dst]))[0])
+            assert got == min(full_deg, blk.fanout)
+        # adj out-of-range never happens
+        assert blk.adj.max() < max(blk.num_src, 1)
+
+
+def test_sampling_without_replacement_when_small_degree(tiny_dataset):
+    """deg <= fanout must return each neighbor exactly once (exact, like DGL)."""
+    ds = tiny_dataset
+    B = 16
+    s = NeighborSampler(ds.graph, [100], B, seed=0, use_native=False)
+    seeds = ds.train_idx[:B]
+    batch = s.sample(seeds)
+    blk = batch.blocks[0]
+    for i in range(B):
+        dst = seeds[i]
+        sampled = [int(blk.src_ids[blk.adj[i, k]])
+                   for k in range(blk.fanout) if blk.mask[i, k] > 0]
+        expect = ds.graph.in_neighbors(dst).tolist()
+        assert sorted(sampled) == sorted(expect)
+
+
+def test_deterministic_given_seed(small_dataset):
+    ds = small_dataset
+    s1 = NeighborSampler(ds.graph, [4, 4], 16, seed=42, use_native=False)
+    s2 = NeighborSampler(ds.graph, [4, 4], 16, seed=42, use_native=False)
+    b1 = s1.sample(ds.train_idx[:16])
+    b2 = s2.sample(ds.train_idx[:16])
+    for x, y in zip(b1.blocks, b2.blocks):
+        np.testing.assert_array_equal(x.adj, y.adj)
+        np.testing.assert_array_equal(x.src_ids, y.src_ids)
+
+
+def test_batch_size_enforced(small_dataset):
+    s = NeighborSampler(small_dataset.graph, [3], 8, use_native=False)
+    with pytest.raises(ValueError):
+        s.sample(small_dataset.train_idx[:5])
