@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end GraphSAGE training throughput on one chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": ...}
+
+Measurement protocol follows the reference's epoch-time benchmark
+(reference: examples/sbatch_ssd_gnn_train.py:126-151 at batch 1024 —
+the 4GB_script.sh grid) expressed as a rate: valid sampled edges aggregated
+per second of wall-clock training (sampling + feature fetch + fwd/bwd/step).
+The reference publishes no numbers (BASELINE.md), so vs_baseline is null.
+
+Everything except the JSON line goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from coala_gnn_tpu.data.loader import CoalaDataLoader
+    from coala_gnn_tpu.distribution import DistributionScheduler, SeedDistributor
+    from coala_gnn_tpu.graph.datasets import synthetic_graph
+    from coala_gnn_tpu.models import DeviceBlock, make_model
+    from coala_gnn_tpu.parallel.train import make_train_step
+    from coala_gnn_tpu.sampling.neighbor import NeighborSampler
+
+    B = int(os.environ.get("BENCH_BATCH", 1024))
+    fanouts = [int(f) for f in os.environ.get("BENCH_FANOUT", "10,5").split(",")]
+    dim = int(os.environ.get("BENCH_DIM", 256))
+    hidden = int(os.environ.get("BENCH_HIDDEN", 256))
+    num_nodes = int(os.environ.get("BENCH_NODES", 200_000))
+    warmup, steps = 3, int(os.environ.get("BENCH_STEPS", 15))
+
+    log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")
+    ds = synthetic_graph(num_nodes=num_nodes, avg_degree=15, feature_dim=dim,
+                         num_classes=16, seed=0)
+    sampler = NeighborSampler(ds.graph, fanouts, B, seed=0)
+    distributor = SeedDistributor(ds.train_idx, batch_size=B, local_size=1,
+                                  num_parts=1, mode="baseline", shuffle_seed=0)
+    scheduler = DistributionScheduler(distributor, part_id=0, local_rank=0)
+    loader = CoalaDataLoader(scheduler=scheduler, sampler=sampler,
+                             labels=ds.labels, local_size=1, prefetch=2)
+
+    model = make_model("sage", hidden=hidden, num_classes=ds.num_classes,
+                       num_layers=len(fanouts))
+    tx = optax.adam(1e-3)
+    step_fn = make_train_step(model, tx, B)
+
+    params = opt_state = None
+    key = jax.random.key(0)
+    edges = 0
+    t0 = None
+    n_done = 0
+    loss = None
+
+    for i, hb in enumerate(loader):
+        if i >= warmup + steps:
+            break
+        blocks = [DeviceBlock(adj=jnp.asarray(hb.adjs[l][0]),
+                              mask=jnp.asarray(hb.masks[l][0]))
+                  for l in range(len(fanouts))]
+        x = jnp.asarray(ds.features[hb.input_ids[0]])
+        labels = jnp.asarray(hb.labels[0])
+        if params is None:
+            params = model.init(jax.random.key(1), blocks, x)
+            opt_state = tx.init(params)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, acc = step_fn(params, opt_state, sub,
+                                               blocks, x, labels)
+        if i == warmup - 1:
+            jax.block_until_ready(loss)
+            t0 = time.perf_counter()
+            edges = 0
+        if i >= warmup:
+            edges += sum(int(m[0].sum()) for m in hb.masks)
+            n_done += 1
+
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    eps = edges / dt
+    log(f"bench: {n_done} steps in {dt:.3f}s -> {eps:,.0f} edges/s "
+        f"({1000 * dt / n_done:.1f} ms/step, loss {float(loss):.4f})")
+    print(json.dumps({
+        "metric": "train_edges_per_s_per_chip",
+        "value": round(eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,23 @@ def set_index(cfg: CacheConfig, ids: jax.Array) -> jax.Array:
     return ids % cfg.num_sets
 
 
+def _dedup_valid(ids: jax.Array, valid: jax.Array) -> jax.Array:
+    """valid with within-batch duplicate ids reduced to their first
+    occurrence. The distributed exchange can deliver the same id from
+    several requesters in one fill batch (the reference counts these as
+    ``double_read`` and lets the seqlock serialize them,
+    nvshmem_cache.h:260); batch-synchronous insertion must drop them or a
+    line would be admitted into two ways."""
+    n = ids.shape[0]
+    key = jnp.where(valid, ids, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
+    first_sorted = jnp.concatenate(
+        [jnp.ones(1, bool), sorted_key[1:] != sorted_key[:-1]])
+    is_first = jnp.zeros(n, bool).at[order].set(first_sorted)
+    return valid & is_first
+
+
 def lookup(cfg: CacheConfig, state: CacheState, ids: jax.Array,
            valid: jax.Array, count_stats: bool = True
            ) -> Tuple[CacheState, jax.Array, jax.Array]:
@@ -146,6 +163,7 @@ def insert(cfg: CacheConfig, state: CacheState, ids: jax.Array,
     occurrence rank (the batch-synchronous equivalent of the reference's
     lock + rr_evict sequence, nvshmem_cache.h:417-446)."""
     n = ids.shape[0]
+    valid = _dedup_valid(ids, valid)
     sets = set_index(cfg, ids)
 
     # Existing-way refresh?
@@ -208,6 +226,7 @@ def insert_with_colors(cfg: CacheConfig, cstate: ColoredCacheState,
     """insert() + color occupancy accounting."""
     state = cstate.base
     n = ids.shape[0]
+    valid = _dedup_valid(ids, valid)
     sets = set_index(cfg, ids)
     way_tags = state.tags[sets]
     match = way_tags == ids[:, None]

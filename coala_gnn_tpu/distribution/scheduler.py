@@ -59,6 +59,12 @@ class DistributionScheduler:
 
     def run(self) -> np.ndarray:
         """Seeds for this device for the next iteration (int64 [batch_size])."""
+        return self.d.device_slice(self.run_domain(), self.local_rank)
+
+    def run_domain(self) -> np.ndarray:
+        """This part's full domain slice for the next iteration
+        (int64 [domain_batch]) — used when one process drives all local
+        devices (the single-process-per-host TPU layout)."""
         it = self._iter
         if it >= self.d.num_iters:
             raise StopIteration
@@ -92,7 +98,7 @@ class DistributionScheduler:
             self._dist_thread.start()
 
         self._iter += 1
-        return self.d.device_slice(domain, self.local_rank)
+        return domain
 
     def reset(self, shuffle_seed: Optional[int] = None) -> None:
         """New epoch: join stragglers, optionally reshuffle, restart pipeline

@@ -1,0 +1,341 @@
+"""Distributed sharded feature cache over a device mesh.
+
+TPU-native re-design of the reference's distributed GPU cache data plane:
+
+  reference mechanism                          -> TPU mechanism
+  ------------------------------------------------------------------------
+  NVSHMEM request queues + one-sided puts      -> two-phase
+  (send_requests/read_feature,                    jax.lax.all_to_all under
+   cache_kernel.cu:4-57, ssd_gnn_cache.cuh:111-174)  shard_map: ids out,
+                                                  features back
+  NCCL backend (split/all_to_all/send-recv/remap, -> the SAME all_to_all path
+   COALA_GNN_Manager.py:143-211)                   (it is the natural TPU
+                                                   formulation; one impl
+                                                   covers both backends)
+  isolated backend (local-only cache,           -> mode="isolated": no
+   isolated_cache.h get_set_id path)              collectives, private sets
+  owner = id % num_gpus (cache_kernel.cu:11)    -> owner = id % n_devices
+  set = (id / n_gpus) % num_sets                -> same (feature_cache.set_index)
+  BaM NVMe / host-UVA miss fill                 -> host-RAM tier gather +
+  (nvshmem_cache.h:278-332)                       compact device_put, merged
+                                                  by a jitted scatter; owner
+                                                  caches refilled by a third
+                                                  all_to_all "push" phase
+
+Fixed-size request buckets with -1 sentinels mirror the reference's
+max_sample_size request buffers (ssd_gnn_cache.cuh:119): all_to_all needs
+equal splits, so each (src, dst) pair gets ``bucket_cap`` slots; requests
+beyond capacity simply fall back to the host tier on the requester (always
+correct, never drops data — only a lost caching opportunity).
+
+Everything here is pure and shard_map-compatible: cache state lives as global
+arrays with a leading device axis sharded over the mesh ``data`` axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from coala_gnn_tpu.cache import feature_cache as fc
+from coala_gnn_tpu.parallel.mesh import DATA_AXIS
+
+
+class ShardedCacheState(NamedTuple):
+    """Per-device cache shards, leading axis = device (sharded over mesh)."""
+    tags: jax.Array          # int32 [n_dev, num_sets, ways]
+    data: jax.Array          # dtype [n_dev, num_sets, ways, cache_dim]
+    rr: jax.Array            # int32 [n_dev, num_sets]
+    line_colors: jax.Array   # int32 [n_dev, num_sets, ways]
+    color_counts: jax.Array  # int32 [n_dev, num_colors + 1]
+    hits: jax.Array          # int32 [n_dev]
+    misses: jax.Array        # int32 [n_dev]
+
+
+def _to_local(state: ShardedCacheState) -> fc.ColoredCacheState:
+    """Per-device view (leading axis squeezed) -> single-device cache state."""
+    base = fc.CacheState(tags=state.tags[0], data=state.data[0], rr=state.rr[0],
+                         color_counts=state.color_counts[0],
+                         hits=state.hits[0], misses=state.misses[0])
+    return fc.ColoredCacheState(base=base, line_colors=state.line_colors[0])
+
+
+def _from_local(c: fc.ColoredCacheState) -> ShardedCacheState:
+    b = c.base
+    return ShardedCacheState(
+        tags=b.tags[None], data=b.data[None], rr=b.rr[None],
+        line_colors=c.line_colors[None], color_counts=b.color_counts[None],
+        hits=b.hits[None], misses=b.misses[None])
+
+
+def init_sharded_state(cfg: fc.CacheConfig, mesh: Mesh) -> ShardedCacheState:
+    """Build the global state sharded over the mesh data axis."""
+    n = mesh.devices.size
+    shard1 = NamedSharding(mesh, P(DATA_AXIS))
+
+    def mk(shape, dtype, fill=0):
+        arr = jnp.full((n,) + shape, fill, dtype=dtype)
+        return jax.device_put(arr, NamedSharding(mesh, P(DATA_AXIS, *[None] * len(shape))))
+
+    return ShardedCacheState(
+        tags=mk((cfg.num_sets, cfg.ways), jnp.int32, -1),
+        data=mk((cfg.num_sets, cfg.ways, cfg.cache_dim), cfg.dtype),
+        rr=mk((cfg.num_sets,), jnp.int32),
+        line_colors=mk((cfg.num_sets, cfg.ways), jnp.int32),
+        color_counts=mk((cfg.num_colors + 1,), jnp.int32),
+        hits=jax.device_put(jnp.zeros(n, jnp.int32), shard1),
+        misses=jax.device_put(jnp.zeros(n, jnp.int32), shard1),
+    )
+
+
+def _owner_rank(ids: jax.Array, valid: jax.Array, n_dev: int
+                ) -> Tuple[jax.Array, jax.Array]:
+    """(owner, within-owner occurrence rank) per request slot.
+
+    The shard_map analogue of nccl_split_node_list_kernel
+    (cache_kernel.cu:79-91): bucket ids by owner and remember each id's
+    position so responses scatter back."""
+    n = ids.shape[0]
+    owner = jnp.where(valid, ids % n_dev, n_dev)   # invalid -> OOB bucket
+    order = jnp.argsort(owner, stable=True)
+    sorted_owner = owner[order]
+    first = jnp.searchsorted(sorted_owner, sorted_owner, side="left")
+    rank_sorted = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    rank = jnp.zeros(n, dtype=jnp.int32).at[order].set(rank_sorted)
+    return owner, rank
+
+
+def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
+                           state: ShardedCacheState, ids: jax.Array,
+                           num_valid: jax.Array):
+    """Per-device body (runs under shard_map over the data axis)."""
+    ids = ids[0]                    # [n_req] this device's request list
+    num_valid = num_valid[0]
+    n_req = ids.shape[0]
+    valid = jnp.arange(n_req) < num_valid
+
+    local = _to_local(state)
+    c = bucket_cap
+
+    if n_dev == 1:
+        base, feats, hit = fc.lookup(cfg, local.base, ids, valid)
+        local = fc.ColoredCacheState(base=base, line_colors=local.line_colors)
+        return (_from_local(local), feats[None], hit[None],
+                jnp.zeros((1, n_req), jnp.bool_)[None][0])
+
+    owner, rank = _owner_rank(ids, valid, n_dev)
+    routed = rank < c               # made it into a bucket
+
+    # Phase 1: route request ids to owners (send_requests parity).
+    buckets = jnp.full((n_dev, c), -1, jnp.int32)
+    buckets = buckets.at[owner, rank].set(ids, mode="drop")
+    req = jax.lax.all_to_all(buckets, DATA_AXIS, split_axis=0, concat_axis=0,
+                             tiled=True)                    # [n_dev, c]
+
+    # Owner-side probe (read_feature parity).
+    req_flat = req.reshape(-1)
+    req_valid = req_flat >= 0
+    base, feats, hit = fc.lookup(cfg, local.base,
+                                 jnp.where(req_valid, req_flat, 0), req_valid)
+    local = fc.ColoredCacheState(base=base, line_colors=local.line_colors)
+
+    # Phase 2: features (and hit bits) back to requesters.
+    resp = jax.lax.all_to_all(feats.reshape(n_dev, c, cfg.dim), DATA_AXIS,
+                              split_axis=0, concat_axis=0, tiled=True)
+    hit_back = jax.lax.all_to_all(hit.reshape(n_dev, c), DATA_AXIS,
+                                  split_axis=0, concat_axis=0, tiled=True)
+
+    # Scatter back into request order (map_feat_data parity,
+    # cache_kernel.cu:129-137).
+    g_owner = jnp.where(routed, owner, 0)
+    g_rank = jnp.where(routed, rank, 0)
+    out = jnp.where((routed & valid)[:, None], resp[g_owner, g_rank], 0)
+    out_hit = hit_back[g_owner, g_rank] & routed & valid
+    return _from_local(local), out[None], out_hit[None], ~routed[None] & valid[None]
+
+
+def _fill_local(cfg: fc.CacheConfig, fill_cap: int, n_dev: int,
+                state: ShardedCacheState, miss_ids: jax.Array,
+                miss_feats: jax.Array, miss_colors: jax.Array):
+    """Push miss rows to their owner shards and insert (the BaM-fill +
+    color-counter update of the reference miss path, nvshmem_cache.h:417-468,
+    expressed as one all_to_all + batch insert)."""
+    miss_ids = miss_ids[0]          # [m] (-1 padded)
+    miss_feats = miss_feats[0]      # [m, dim]
+    miss_colors = miss_colors[0]    # [m]
+    local = _to_local(state)
+    valid = miss_ids >= 0
+
+    if n_dev == 1:
+        local = fc.insert_with_colors(cfg, local, miss_ids, miss_feats, valid,
+                                      miss_colors)
+        return _from_local(local)
+
+    c = fill_cap
+    owner, rank = _owner_rank(miss_ids, valid, n_dev)
+    id_b = jnp.full((n_dev, c), -1, jnp.int32).at[owner, rank].set(
+        miss_ids, mode="drop")
+    ft_b = jnp.zeros((n_dev, c, cfg.dim), cfg.dtype).at[owner, rank].set(
+        miss_feats.astype(cfg.dtype), mode="drop")
+    cl_b = jnp.zeros((n_dev, c), jnp.int32).at[owner, rank].set(
+        miss_colors, mode="drop")
+
+    rid = jax.lax.all_to_all(id_b, DATA_AXIS, 0, 0, tiled=True).reshape(-1)
+    rft = jax.lax.all_to_all(ft_b, DATA_AXIS, 0, 0, tiled=True).reshape(-1, cfg.dim)
+    rcl = jax.lax.all_to_all(cl_b, DATA_AXIS, 0, 0, tiled=True).reshape(-1)
+
+    local = fc.insert_with_colors(cfg, local, jnp.where(rid >= 0, rid, 0),
+                                  rft, rid >= 0, rcl)
+    return _from_local(local)
+
+
+@dataclasses.dataclass
+class ShardedFeatureCache:
+    """Orchestrates the jitted exchange kernels + the host feature tier.
+
+    mode "sharded"  — ids hash-partitioned across all mesh devices, two-phase
+                      all_to_all exchange (reference nvshmem/nccl backends).
+    mode "isolated" — each device caches what it requests, no collectives
+                      (reference isolated backend).
+    """
+
+    cfg: fc.CacheConfig
+    mesh: Mesh
+    mode: str = "sharded"
+    bucket_slack: float = 2.0
+
+    def __post_init__(self):
+        n_dev = self.mesh.devices.size
+        if self.mode not in ("sharded", "isolated"):
+            raise ValueError(f"unknown cache mode {self.mode!r}")
+        if self.mode == "isolated" or n_dev == 1:
+            self.n_route = 1
+        else:
+            self.n_route = n_dev
+        self.state = init_sharded_state(self.cfg, self.mesh)
+        self._jit_cache = {}
+
+    # ---- jitted kernels (built per request-shape) -------------------------
+
+    def _kernels(self, n_req: int, fill_cap: int):
+        key = (n_req, fill_cap)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        mesh, cfg, n_dev = self.mesh, self.cfg, self.n_route
+        bucket_cap = n_req if n_dev == 1 else min(
+            n_req, int(self.bucket_slack * n_req / n_dev) + 1)
+        state_specs = jax.tree.map(lambda _: P(DATA_AXIS), self.state)
+
+        lookup = shard_map(
+            functools.partial(_lookup_exchange_local, cfg, bucket_cap, n_dev),
+            mesh=mesh,
+            in_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False)
+        fill = shard_map(
+            functools.partial(_fill_local, cfg, fill_cap, n_dev),
+            mesh=mesh,
+            in_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=state_specs,
+            check_vma=False)
+
+        def merge(feats, hit, positions, rows):
+            # feats [D, n_req, dim]; rows [D, m, dim]; positions [D, m]
+            # (-1 padded -> dropped)
+            def body(f, p, r):
+                pos = jnp.where(p >= 0, p, f.shape[0])
+                return f.at[pos].set(r, mode="drop")
+            return jax.vmap(body)(feats, positions, rows)
+
+        kernels = (jax.jit(lookup), jax.jit(fill), jax.jit(merge))
+        self._jit_cache[key] = kernels
+        return kernels
+
+    # ---- public API -------------------------------------------------------
+
+    def fetch(self, ids: np.ndarray, num_valid: np.ndarray,
+              host_fetch, colors: Optional[np.ndarray] = None,
+              fill: bool = True) -> jax.Array:
+        """Fetch features for per-device request lists.
+
+        ids       : int32 [n_dev, n_req] global node ids (may repeat padding)
+        num_valid : int32 [n_dev] valid prefix per device
+        host_fetch: fn(int64 [m]) -> float32 [m, dim] — the host tier
+        colors    : int64/int32 [num_nodes] node->color map (optional)
+        Returns feats [n_dev, n_req, dim] sharded over the mesh data axis.
+        """
+        n_dev_mesh = self.mesh.devices.size
+        ids = np.ascontiguousarray(ids, dtype=np.int32)
+        n_req = ids.shape[1]
+        fill_cap = _ceil_pow2(max(n_req // max(self.n_route, 1), 128))
+        k_lookup, k_fill, k_merge = self._kernels(n_req, fill_cap)
+
+        dids = jax.device_put(ids, NamedSharding(self.mesh, P(DATA_AXIS, None)))
+        dnum = jax.device_put(np.asarray(num_valid, np.int32),
+                              NamedSharding(self.mesh, P(DATA_AXIS)))
+        self.state, feats, hit, overflow = k_lookup(self.state, dids, dnum)
+
+        # Host tier: gather rows the cache couldn't serve.
+        hit_np = np.asarray(hit)
+        over_np = np.asarray(overflow)
+        valid_np = np.arange(n_req)[None, :] < np.asarray(num_valid)[:, None]
+        need = valid_np & (~hit_np | over_np)
+
+        m_cap = _ceil_pow2(int(need.sum(axis=1).max()) if need.any() else 1)
+        positions = np.full((n_dev_mesh, m_cap), -1, dtype=np.int32)
+        rows = np.zeros((n_dev_mesh, m_cap, self.cfg.dim), dtype=np.float32)
+        fill_ids = np.full((n_dev_mesh, fill_cap), -1, dtype=np.int32)
+        fill_rows = np.zeros((n_dev_mesh, fill_cap, self.cfg.dim), np.float32)
+        fill_colors = np.zeros((n_dev_mesh, fill_cap), dtype=np.int32)
+
+        for d in range(n_dev_mesh):
+            pos = np.flatnonzero(need[d])
+            if pos.size == 0:
+                continue
+            miss_ids = ids[d, pos].astype(np.int64)
+            fetched = host_fetch(miss_ids)
+            positions[d, : pos.size] = pos
+            rows[d, : pos.size] = fetched
+            k = min(pos.size, fill_cap)
+            fill_ids[d, :k] = ids[d, pos[:k]]
+            fill_rows[d, :k] = fetched[:k]
+            if colors is not None:
+                fill_colors[d, :k] = colors[miss_ids[:k]]
+
+        sh2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        sh3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        feats = k_merge(feats, hit, jax.device_put(positions, sh2),
+                        jax.device_put(rows, sh3))
+        if fill:
+            self.state = k_fill(self.state,
+                                jax.device_put(fill_ids, sh2),
+                                jax.device_put(fill_rows, sh3),
+                                jax.device_put(fill_colors, sh2))
+        return feats
+
+    def color_meta(self) -> np.ndarray:
+        """Aggregated color-occupancy counters (the get_cache_data +
+        gather_cache_meta path, ssd_gnn_cache.cuh:176-186,
+        Shared_Tensor.py:96-100). Returns int32 [num_colors + 1] summed over
+        this mesh's devices."""
+        return np.asarray(self.state.color_counts.sum(axis=0)).astype(np.int32)
+
+    def stats(self) -> dict:
+        h = int(np.asarray(self.state.hits).sum())
+        m = int(np.asarray(self.state.misses).sum())
+        self.state = self.state._replace(
+            hits=jnp.zeros_like(self.state.hits),
+            misses=jnp.zeros_like(self.state.misses))
+        return {"hits": h, "misses": m,
+                "hit_ratio": h / (h + m) if h + m else 0.0}
+
+
+def _ceil_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length() if x > 1 else 1

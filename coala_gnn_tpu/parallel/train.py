@@ -63,6 +63,61 @@ def make_train_step(model: nn.Module, tx: optax.GradientTransformation,
     return step
 
 
+def make_sharded_train_step(model: nn.Module,
+                            tx: optax.GradientTransformation,
+                            mesh, batch_size: int) -> Callable:
+    """Data-parallel train step over the mesh ``data`` axis.
+
+    Replaces the reference's DDP + NCCL gradient all-reduce
+    (sbatch_ssd_gnn_train.py:112, Shared_Tensor.py:63) with a shard_map whose
+    gradients are pmean'd over the mesh — the collective rides ICI/DCN and is
+    inserted where we say, not by a wrapper module.
+
+    Inputs carry a leading device axis: blocks leaves [n_dev, ...],
+    x [n_dev, cap_src, dim], labels [n_dev, B]. Params/opt_state replicated.
+    """
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from coala_gnn_tpu.parallel.mesh import DATA_AXIS
+
+    def local_grads(params, key, blocks, x, labels):
+        blocks = jax.tree.map(lambda a: a[0], blocks)
+        x, labels = x[0], labels[0]
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+
+        def loss_fn(p):
+            logits = model.apply(p, blocks, x, train=True,
+                                 rngs={"dropout": key})[:batch_size]
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            return ce.mean(), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        acc = jax.lax.pmean((logits.argmax(-1) == labels).mean(), DATA_AXIS)
+        return grads, loss, acc
+
+    def sharded(params, key, blocks, x, labels):
+        grads_spec = jax.tree.map(lambda _: P(), params)
+        blocks_spec = jax.tree.map(lambda _: P(DATA_AXIS), blocks)
+        return shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(grads_spec, P(), blocks_spec, P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(grads_spec, P(), P()),
+            check_vma=False)(params, key, blocks, x, labels)
+
+    @jax.jit
+    def step(params, opt_state, key, blocks, x, labels):
+        grads, loss, acc = sharded(params, key, blocks, x, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, acc
+
+    return step
+
+
 def make_eval_step(model: nn.Module, batch_size: int) -> Callable:
     @jax.jit
     def step(params, blocks, x, labels) -> Tuple[jax.Array, jax.Array]:

@@ -1,0 +1,137 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from coala_gnn_tpu.cache import feature_cache as fc
+from coala_gnn_tpu.cache.host_tier import HostFeatureStore
+
+
+def small_cfg(dim=16, num_sets=4, num_colors=0, num_shards=1):
+    return fc.CacheConfig(num_sets=num_sets, ways=fc.WAYS, dim=dim,
+                          cache_dim=fc.round_cache_dim(dim),
+                          num_colors=num_colors, num_shards=num_shards)
+
+
+def test_geometry_parity():
+    # cache_dim rounding {128,256,512,1024} (ssd_gnn_cache.cuh:34-47)
+    assert fc.round_cache_dim(100) == 128
+    assert fc.round_cache_dim(128) == 128
+    assert fc.round_cache_dim(129) == 256
+    assert fc.round_cache_dim(1024) == 1024
+    assert fc.round_cache_dim(1500) == 1536
+    # num_sets = MB*2^20/page/32 (ssd_gnn_cache.cuh:96-97), ways=32
+    cfg = fc.make_config(cache_mb=4, dim=128, num_colors=0)
+    assert cfg.ways == 32
+    assert cfg.num_sets == 4 * 2**20 // (128 * 4) // 32
+    assert cfg.capacity == cfg.num_sets * 32
+
+
+def test_miss_then_hit_roundtrip(rng):
+    cfg = small_cfg()
+    state = fc.init_state(cfg)
+    ids = jnp.asarray(np.arange(10, dtype=np.int32))
+    valid = jnp.ones(10, dtype=bool)
+    feats = jnp.asarray(rng.normal(size=(10, cfg.dim)).astype(np.float32))
+
+    state, out, hit = fc.lookup(cfg, state, ids, valid)
+    assert not bool(hit.any())
+    np.testing.assert_array_equal(np.asarray(out), 0)
+
+    state = fc.insert(cfg, state, ids, feats, valid)
+    state, out, hit = fc.lookup(cfg, state, ids, valid)
+    assert bool(hit.all())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(feats), rtol=1e-6)
+
+    state, s = fc.stats(state)
+    assert s["hits"] == 10 and s["misses"] == 10 and s["hit_ratio"] == 0.5
+    _, s2 = fc.stats(state)
+    assert s2["hits"] == 0  # reset-on-read parity
+
+
+def test_insert_same_set_claims_distinct_ways(rng):
+    cfg = small_cfg(num_sets=2)
+    state = fc.init_state(cfg)
+    # ids 0,2,4,...: all map to set 0 (id % 2)
+    ids = jnp.asarray((np.arange(8) * 2).astype(np.int32))
+    feats = jnp.asarray(rng.normal(size=(8, cfg.dim)).astype(np.float32))
+    state = fc.insert(cfg, state, ids, feats, jnp.ones(8, bool))
+    state, out, hit = fc.lookup(cfg, state, ids, jnp.ones(8, bool))
+    assert bool(hit.all())  # no slot collision lost a line
+    np.testing.assert_allclose(np.asarray(out), np.asarray(feats), rtol=1e-6)
+
+
+def test_round_robin_eviction(rng):
+    cfg = small_cfg(num_sets=1)  # one set, 32 ways
+    state = fc.init_state(cfg)
+    n = cfg.ways + 8
+    ids = jnp.asarray(np.arange(n, dtype=np.int32))
+    feats = jnp.asarray(rng.normal(size=(n, cfg.dim)).astype(np.float32))
+    # fill 32 ways, then 8 more evict the first 8 round-robin
+    state = fc.insert(cfg, state, ids[: cfg.ways], feats[: cfg.ways],
+                      jnp.ones(cfg.ways, bool))
+    state = fc.insert(cfg, state, ids[cfg.ways:], feats[cfg.ways:],
+                      jnp.ones(8, bool))
+    state, _, hit = fc.lookup(cfg, state, ids, jnp.ones(n, bool))
+    hit = np.asarray(hit)
+    assert not hit[:8].any()      # evicted (rr from cursor 0)
+    assert hit[8:].all()          # survivors + new lines
+
+
+def test_refresh_does_not_duplicate(rng):
+    cfg = small_cfg(num_sets=2)
+    state = fc.init_state(cfg)
+    ids = jnp.asarray(np.array([4, 6], dtype=np.int32))
+    f1 = jnp.asarray(rng.normal(size=(2, cfg.dim)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(2, cfg.dim)).astype(np.float32))
+    state = fc.insert(cfg, state, ids, f1, jnp.ones(2, bool))
+    state = fc.insert(cfg, state, ids, f2, jnp.ones(2, bool))  # refresh in place
+    tags = np.asarray(state.tags)
+    assert (tags == 4).sum() == 1 and (tags == 6).sum() == 1
+    state, out, hit = fc.lookup(cfg, state, ids, jnp.ones(2, bool))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(f2), rtol=1e-6)
+
+
+def test_color_occupancy_tracking(rng):
+    cfg = small_cfg(num_sets=1, num_colors=5)
+    cs = fc.init_colored_state(cfg)
+    ids = jnp.asarray(np.arange(cfg.ways, dtype=np.int32))
+    feats = jnp.zeros((cfg.ways, cfg.dim), jnp.float32)
+    colors = jnp.asarray((np.arange(cfg.ways) % 5 + 1).astype(np.int32))
+    cs = fc.insert_with_colors(cfg, cs, ids, feats, jnp.ones(cfg.ways, bool), colors)
+    counts = np.asarray(cs.base.color_counts)
+    # 32 lines over colors 1..5: 7,7,6,6,6 in insertion pattern (32%5=2)
+    assert counts.sum() == cfg.ways
+    np.testing.assert_array_equal(counts[1:], [7, 7, 6, 6, 6])
+
+    # evicting decrements the victim's color and increments the new one
+    new_ids = jnp.asarray(np.arange(100, 104, dtype=np.int32))
+    new_colors = jnp.asarray(np.full(4, 5, dtype=np.int32))
+    cs = fc.insert_with_colors(cfg, cs, new_ids, jnp.zeros((4, cfg.dim)),
+                               jnp.ones(4, bool), new_colors)
+    counts2 = np.asarray(cs.base.color_counts)
+    assert counts2.sum() == cfg.ways  # occupancy conserved
+    assert counts2[5] == 6 + 4       # four new color-5 lines
+    np.testing.assert_array_equal(counts2[1:3], [6, 6])  # victims were colors 1,2
+
+
+def test_invalid_rows_dropped(rng):
+    cfg = small_cfg()
+    state = fc.init_state(cfg)
+    ids = jnp.asarray(np.array([1, 2, 3], dtype=np.int32))
+    valid = jnp.asarray(np.array([True, False, True]))
+    feats = jnp.asarray(rng.normal(size=(3, cfg.dim)).astype(np.float32))
+    state = fc.insert(cfg, state, ids, feats, valid)
+    state, _, hit = fc.lookup(cfg, state, ids, jnp.ones(3, bool))
+    np.testing.assert_array_equal(np.asarray(hit), [True, False, True])
+
+
+def test_host_tier_gather_and_async(rng):
+    feats = rng.normal(size=(100, 8)).astype(np.float32)
+    store = HostFeatureStore(feats)
+    ids = np.array([3, 7, -1, 99])
+    out = store.fetch(ids)
+    np.testing.assert_allclose(out[[0, 1, 3]], feats[[3, 7, 99]])
+    np.testing.assert_array_equal(out[2], 0)
+    fut = store.fetch_async(ids)
+    np.testing.assert_allclose(fut.result(), out)

@@ -1,0 +1,136 @@
+"""Sharded cache exchange on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from coala_gnn_tpu.cache import feature_cache as fc
+from coala_gnn_tpu.cache.host_tier import HostFeatureStore
+from coala_gnn_tpu.parallel.mesh import make_mesh
+from coala_gnn_tpu.parallel.sharded_cache import ShardedFeatureCache
+
+
+N_NODES, DIM = 5000, 16
+
+
+@pytest.fixture(scope="module")
+def store(request):
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(N_NODES, DIM)).astype(np.float32)
+    return HostFeatureStore(feats)
+
+
+def make_cache(mode, num_colors=0):
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    cfg = fc.CacheConfig(num_sets=8, ways=fc.WAYS, dim=DIM,
+                         cache_dim=fc.round_cache_dim(DIM),
+                         num_colors=num_colors,
+                         num_shards=n_dev if mode == "sharded" else 1)
+    return ShardedFeatureCache(cfg=cfg, mesh=mesh, mode=mode), mesh
+
+
+def _request(rng, n_dev, n_req, n_valid):
+    ids = np.zeros((n_dev, n_req), dtype=np.int32)
+    num_valid = np.full(n_dev, n_valid, dtype=np.int32)
+    for d in range(n_dev):
+        ids[d, :n_valid] = rng.choice(N_NODES, size=n_valid, replace=False)
+    return ids, num_valid
+
+
+@pytest.mark.parametrize("mode", ["sharded", "isolated"])
+def test_fetch_returns_correct_features(store, mode):
+    cache, mesh = make_cache(mode)
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(1)
+    ids, num_valid = _request(rng, n_dev, 64, 50)
+    feats = np.asarray(cache.fetch(ids, num_valid, store.fetch))
+    assert feats.shape == (n_dev, 64, DIM)
+    for d in range(n_dev):
+        np.testing.assert_allclose(feats[d, :50], store.features[ids[d, :50]],
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(feats[d, 50:], 0)
+
+
+@pytest.mark.parametrize("mode", ["sharded", "isolated"])
+def test_cache_hits_on_refetch(store, mode):
+    cache, mesh = make_cache(mode)
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(2)
+    ids, num_valid = _request(rng, n_dev, 32, 32)
+    cache.fetch(ids, num_valid, store.fetch)
+    s1 = cache.stats()
+    assert s1["hits"] == 0 and s1["misses"] == n_dev * 32
+
+    feats = np.asarray(cache.fetch(ids, num_valid, store.fetch))
+    s2 = cache.stats()
+    assert s2["hits"] > 0
+    for d in range(n_dev):
+        np.testing.assert_allclose(feats[d], store.features[ids[d]], rtol=1e-6)
+    if mode == "sharded":
+        # every request was filled into its owner shard on round 1
+        assert s2["hit_ratio"] == 1.0
+
+
+def test_sharded_cache_shares_capacity_across_devices(store):
+    """In sharded mode a row cached by one requester serves all devices."""
+    cache, mesh = make_cache("sharded")
+    n_dev = mesh.devices.size
+    if n_dev < 2:
+        pytest.skip("needs multi-device mesh")
+    ids = np.zeros((n_dev, 16), dtype=np.int32)
+    num_valid = np.zeros(n_dev, dtype=np.int32)
+    # only device 0 requests rows 100..115
+    ids[0, :] = np.arange(100, 116)
+    num_valid[0] = 16
+    cache.fetch(ids, num_valid, store.fetch)
+    cache.stats()
+
+    # now EVERY device requests the same rows -> all hits (served remotely)
+    ids2 = np.tile(np.arange(100, 116, dtype=np.int32), (n_dev, 1))
+    nv2 = np.full(n_dev, 16, dtype=np.int32)
+    feats = np.asarray(cache.fetch(ids2, nv2, store.fetch, fill=False))
+    s = cache.stats()
+    assert s["hits"] == n_dev * 16
+    assert s["misses"] == 0
+    for d in range(n_dev):
+        np.testing.assert_allclose(feats[d], store.features[100:116], rtol=1e-6)
+
+
+def test_isolated_cache_is_private(store):
+    cache, mesh = make_cache("isolated")
+    n_dev = mesh.devices.size
+    if n_dev < 2:
+        pytest.skip("needs multi-device mesh")
+    ids = np.zeros((n_dev, 16), dtype=np.int32)
+    num_valid = np.zeros(n_dev, dtype=np.int32)
+    ids[0, :] = np.arange(200, 216)
+    num_valid[0] = 16
+    cache.fetch(ids, num_valid, store.fetch)
+    cache.stats()
+    # other devices requesting the same ids MISS (no sharing)
+    ids2 = np.tile(np.arange(200, 216, dtype=np.int32), (n_dev, 1))
+    nv2 = np.full(n_dev, 16, dtype=np.int32)
+    cache.fetch(ids2, nv2, store.fetch, fill=False)
+    s = cache.stats()
+    assert s["hits"] == 16            # only device 0 hits
+    assert s["misses"] == (n_dev - 1) * 16
+
+
+def test_color_meta_aggregation(store):
+    num_colors = 6
+    cache, mesh = make_cache("sharded", num_colors=num_colors)
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(3)
+    colors = rng.integers(1, num_colors + 1, size=N_NODES).astype(np.int64)
+    ids, num_valid = _request(rng, n_dev, 32, 32)
+    cache.fetch(ids, num_valid, store.fetch, colors=colors)
+    meta = cache.color_meta()
+    assert meta.shape == (num_colors + 1,)
+    assert meta[0] == 0
+    # every distinct inserted id is tracked exactly once
+    uniq = np.unique(ids.reshape(-1))
+    assert meta.sum() == len(uniq)
+    # counts match the color histogram of the cached ids
+    want = np.bincount(colors[uniq], minlength=num_colors + 1)
+    np.testing.assert_array_equal(meta, want)
