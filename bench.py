@@ -32,10 +32,14 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    from coala_gnn_tpu.cache import feature_cache as fc
+    from coala_gnn_tpu.cache.host_tier import HostFeatureStore
     from coala_gnn_tpu.data.loader import CoalaDataLoader
     from coala_gnn_tpu.distribution import DistributionScheduler, SeedDistributor
     from coala_gnn_tpu.graph.datasets import synthetic_graph
     from coala_gnn_tpu.models import DeviceBlock, make_model
+    from coala_gnn_tpu.parallel.mesh import make_mesh
+    from coala_gnn_tpu.parallel.sharded_cache import ShardedFeatureCache
     from coala_gnn_tpu.parallel.train import make_train_step
     from coala_gnn_tpu.sampling.neighbor import NeighborSampler
 
@@ -44,7 +48,9 @@ def main():
     dim = int(os.environ.get("BENCH_DIM", 256))
     hidden = int(os.environ.get("BENCH_HIDDEN", 256))
     num_nodes = int(os.environ.get("BENCH_NODES", 200_000))
-    warmup, steps = 3, int(os.environ.get("BENCH_STEPS", 15))
+    cache_mb = int(os.environ.get("BENCH_CACHE_MB", 1024))
+    warmup, steps = int(os.environ.get("BENCH_WARMUP", 8)), \
+        int(os.environ.get("BENCH_STEPS", 15))
 
     log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")
     ds = synthetic_graph(num_nodes=num_nodes, avg_degree=15, feature_dim=dim,
@@ -61,6 +67,23 @@ def main():
     tx = optax.adam(1e-3)
     step_fn = make_train_step(model, tx, B)
 
+    # HBM feature cache (the whole point): steady-state hits mean features
+    # come from device HBM instead of crossing host->device every step.
+    cache = store = None
+    if cache_mb > 0:
+        mesh = make_mesh(jax.devices()[:1])
+        cfg = fc.make_config(cache_mb=cache_mb, dim=dim, num_colors=0)
+        cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="isolated")
+        store = HostFeatureStore(ds.features)
+        log(f"bench: cache {cfg.num_sets} sets x {cfg.ways} ways "
+            f"({cfg.size_mb:.0f} MB, capacity {cfg.capacity} lines)")
+        if int(os.environ.get("BENCH_PREWARM", 1)):
+            t = time.perf_counter()
+            n_warm = min(num_nodes, cfg.capacity)
+            cache.prewarm(np.arange(n_warm, dtype=np.int32), store.fetch)
+            log(f"bench: prewarmed {n_warm} lines in "
+                f"{time.perf_counter() - t:.1f}s")
+
     params = opt_state = None
     key = jax.random.key(0)
     edges = 0
@@ -68,22 +91,48 @@ def main():
     n_done = 0
     loss = None
 
-    for i, hb in enumerate(loader):
-        if i >= warmup + steps:
+    # One-batch-ahead cache-probe pipeline: the hit mask for batch i+1
+    # streams to the host while batch i trains, hiding the round trip.
+    it = iter(loader)
+    pending = []  # [(hb, fetch handle)]
+
+    def pull():
+        try:
+            hb = next(it)
+        except StopIteration:
+            return
+        h = cache.fetch_begin(hb.input_ids, hb.num_input) if cache is not None else None
+        pending.append((hb, h))
+
+    pull()
+    for i in range(warmup + steps):
+        if not pending:
             break
+        hb, handle = pending.pop(0)
+        pull()  # start next batch's probe before resolving this one
         blocks = [DeviceBlock(adj=jnp.asarray(hb.adjs[l][0]),
                               mask=jnp.asarray(hb.masks[l][0]))
                   for l in range(len(fanouts))]
-        x = jnp.asarray(ds.features[hb.input_ids[0]])
+        if cache is not None:
+            x = cache.fetch_complete(handle, store.fetch)[0]
+        else:
+            x = jnp.asarray(ds.features[hb.input_ids[0]])
         labels = jnp.asarray(hb.labels[0])
         if params is None:
+            log(f"bench: first batch ready (sampled {hb.sampled_nodes} nodes); "
+                "initializing + compiling...")
             params = model.init(jax.random.key(1), blocks, x)
             opt_state = tx.init(params)
         key, sub = jax.random.split(key)
         params, opt_state, loss, acc = step_fn(params, opt_state, sub,
                                                blocks, x, labels)
+        if i == 0:
+            jax.block_until_ready(loss)
+            log("bench: compile done, warming up")
         if i == warmup - 1:
             jax.block_until_ready(loss)
+            if cache is not None:
+                cache.stats()  # reset so reported ratio covers timed steps
             t0 = time.perf_counter()
             edges = 0
         if i >= warmup:
@@ -93,6 +142,12 @@ def main():
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     eps = edges / dt
+    hit_ratio = None
+    if cache is not None:
+        s = cache.stats()
+        hit_ratio = round(s["hit_ratio"], 4)
+        log(f"bench: cache hit ratio {s['hit_ratio']:.3f} "
+            f"({s['hits']} hits / {s['misses']} misses)")
     log(f"bench: {n_done} steps in {dt:.3f}s -> {eps:,.0f} edges/s "
         f"({1000 * dt / n_done:.1f} ms/step, loss {float(loss):.4f})")
     print(json.dumps({
@@ -100,6 +155,10 @@ def main():
         "value": round(eps, 1),
         "unit": "edges/s",
         "vs_baseline": None,
+        "cache_hit_ratio": hit_ratio,
+        "config": {"batch": B, "fanout": fanouts, "dim": dim,
+                   "hidden": hidden, "nodes": num_nodes,
+                   "cache_mb": cache_mb, "model": "sage"},
     }))
 
 

@@ -162,20 +162,28 @@ def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
 
 
 def _fill_local(cfg: fc.CacheConfig, fill_cap: int, n_dev: int,
-                state: ShardedCacheState, miss_ids: jax.Array,
-                miss_feats: jax.Array, miss_colors: jax.Array):
+                state: ShardedCacheState, ids: jax.Array,
+                positions: jax.Array, rows: jax.Array,
+                miss_colors: jax.Array):
     """Push miss rows to their owner shards and insert (the BaM-fill +
     color-counter update of the reference miss path, nvshmem_cache.h:417-468,
-    expressed as one all_to_all + batch insert)."""
-    miss_ids = miss_ids[0]          # [m] (-1 padded)
-    miss_feats = miss_feats[0]      # [m, dim]
+    expressed as one all_to_all + batch insert).
+
+    The miss rows were already shipped once for the output merge; here the
+    miss *ids* are re-derived on device from (ids, positions) so nothing is
+    transferred twice. positions are -1 padded."""
+    ids = ids[0]                    # [n_req]
+    positions = positions[0]        # [m]
+    rows = rows[0]                  # [m, dim]
     miss_colors = miss_colors[0]    # [m]
     local = _to_local(state)
-    valid = miss_ids >= 0
+    valid = positions >= 0
+    miss_ids = jnp.where(valid, ids[jnp.clip(positions, 0)], -1)
+    miss_feats = rows
 
     if n_dev == 1:
-        local = fc.insert_with_colors(cfg, local, miss_ids, miss_feats, valid,
-                                      miss_colors)
+        local = fc.insert_with_colors(cfg, local, jnp.where(valid, miss_ids, 0),
+                                      miss_feats, valid, miss_colors)
         return _from_local(local)
 
     c = fill_cap
@@ -224,29 +232,42 @@ class ShardedFeatureCache:
 
     # ---- jitted kernels (built per request-shape) -------------------------
 
-    def _kernels(self, n_req: int, fill_cap: int):
-        key = (n_req, fill_cap)
+    def _lookup_kernel(self, n_req: int):
+        key = ("lookup", n_req)
         if key in self._jit_cache:
             return self._jit_cache[key]
         mesh, cfg, n_dev = self.mesh, self.cfg, self.n_route
         bucket_cap = n_req if n_dev == 1 else min(
             n_req, int(self.bucket_slack * n_req / n_dev) + 1)
         state_specs = jax.tree.map(lambda _: P(DATA_AXIS), self.state)
-
         lookup = shard_map(
             functools.partial(_lookup_exchange_local, cfg, bucket_cap, n_dev),
             mesh=mesh,
             in_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
             check_vma=False)
+        k = jax.jit(lookup)
+        self._jit_cache[key] = k
+        return k
+
+    def _miss_kernels(self, n_req: int, m_cap: int):
+        key = ("miss", n_req, m_cap)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        mesh, cfg, n_dev = self.mesh, self.cfg, self.n_route
+        # per-owner fill bucket: misses spread ~uniformly over owners
+        fill_cap = m_cap if n_dev == 1 else min(
+            m_cap, int(self.bucket_slack * m_cap / n_dev) + 128)
+        state_specs = jax.tree.map(lambda _: P(DATA_AXIS), self.state)
         fill = shard_map(
             functools.partial(_fill_local, cfg, fill_cap, n_dev),
             mesh=mesh,
-            in_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            in_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=state_specs,
             check_vma=False)
 
-        def merge(feats, hit, positions, rows):
+        def merge(feats, positions, rows):
             # feats [D, n_req, dim]; rows [D, m, dim]; positions [D, m]
             # (-1 padded -> dropped)
             def body(f, p, r):
@@ -254,16 +275,84 @@ class ShardedFeatureCache:
                 return f.at[pos].set(r, mode="drop")
             return jax.vmap(body)(feats, positions, rows)
 
-        kernels = (jax.jit(lookup), jax.jit(fill), jax.jit(merge))
+        kernels = (jax.jit(fill), jax.jit(merge))
         self._jit_cache[key] = kernels
         return kernels
 
     # ---- public API -------------------------------------------------------
 
+    def fetch_begin(self, ids: np.ndarray, num_valid: np.ndarray):
+        """Dispatch the (possibly cross-device) cache probe for a request
+        list and start streaming the hit mask back to the host — without
+        blocking. Pair with fetch_complete(). Pipelining one batch ahead
+        hides the device->host round trip behind the current step's work —
+        the TPU analogue of the reference scheduler running distribution one
+        iteration ahead (COALA_GNN_DataLoader.py:31-68)."""
+        ids = np.ascontiguousarray(ids, dtype=np.int32)
+        n_req = ids.shape[1]
+        k_lookup = self._lookup_kernel(n_req)
+        dids = jax.device_put(ids, NamedSharding(self.mesh, P(DATA_AXIS, None)))
+        dnum = jax.device_put(np.asarray(num_valid, np.int32),
+                              NamedSharding(self.mesh, P(DATA_AXIS)))
+        self.state, feats, hit, overflow = k_lookup(self.state, dids, dnum)
+        for arr in (hit, overflow):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+        return (ids, np.asarray(num_valid, np.int32), dids, feats, hit, overflow)
+
+    def fetch_complete(self, handle, host_fetch,
+                       colors: Optional[np.ndarray] = None,
+                       fill: bool = True) -> jax.Array:
+        """Resolve a fetch_begin handle: gather misses from the host tier,
+        merge them into the output, and push them into their owner shards."""
+        ids, num_valid, dids, feats, hit, overflow = handle
+        n_dev_mesh = self.mesh.devices.size
+        n_req = ids.shape[1]
+
+        # Host tier: gather rows the cache couldn't serve.
+        hit_np = np.asarray(hit)
+        over_np = np.asarray(overflow)
+        valid_np = np.arange(n_req)[None, :] < num_valid[:, None]
+        need = valid_np & (~hit_np | over_np)
+        if not need.any():
+            # Pure-hit steady state: nothing to transfer or insert.
+            return feats
+
+        # Compact transfer buffers sized to the actual miss count (rounded to
+        # a power of two to bound recompiles); rows are shipped exactly once
+        # and reused on device by both the merge and the owner fill.
+        m_cap = _ceil_pow2(int(need.sum(axis=1).max()))
+        k_fill, k_merge = self._miss_kernels(n_req, m_cap)
+        positions = np.full((n_dev_mesh, m_cap), -1, dtype=np.int32)
+        rows = np.zeros((n_dev_mesh, m_cap, self.cfg.dim), dtype=np.float32)
+        miss_colors = np.zeros((n_dev_mesh, m_cap), dtype=np.int32)
+
+        for d in range(n_dev_mesh):
+            pos = np.flatnonzero(need[d])
+            if pos.size == 0:
+                continue
+            miss_ids = ids[d, pos].astype(np.int64)
+            positions[d, : pos.size] = pos
+            rows[d, : pos.size] = host_fetch(miss_ids)
+            if colors is not None:
+                miss_colors[d, : pos.size] = colors[miss_ids]
+
+        sh2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        sh3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        dpos = jax.device_put(positions, sh2)
+        drows = jax.device_put(rows, sh3)
+        feats = k_merge(feats, dpos, drows)
+        if fill:
+            self.state = k_fill(self.state, dids, dpos, drows,
+                                jax.device_put(miss_colors, sh2))
+        return feats
+
     def fetch(self, ids: np.ndarray, num_valid: np.ndarray,
               host_fetch, colors: Optional[np.ndarray] = None,
               fill: bool = True) -> jax.Array:
-        """Fetch features for per-device request lists.
+        """Synchronous fetch (fetch_begin + fetch_complete back to back).
 
         ids       : int32 [n_dev, n_req] global node ids (may repeat padding)
         num_valid : int32 [n_dev] valid prefix per device
@@ -271,54 +360,29 @@ class ShardedFeatureCache:
         colors    : int64/int32 [num_nodes] node->color map (optional)
         Returns feats [n_dev, n_req, dim] sharded over the mesh data axis.
         """
-        n_dev_mesh = self.mesh.devices.size
-        ids = np.ascontiguousarray(ids, dtype=np.int32)
-        n_req = ids.shape[1]
-        fill_cap = _ceil_pow2(max(n_req // max(self.n_route, 1), 128))
-        k_lookup, k_fill, k_merge = self._kernels(n_req, fill_cap)
+        return self.fetch_complete(self.fetch_begin(ids, num_valid),
+                                   host_fetch, colors=colors, fill=fill)
 
-        dids = jax.device_put(ids, NamedSharding(self.mesh, P(DATA_AXIS, None)))
-        dnum = jax.device_put(np.asarray(num_valid, np.int32),
-                              NamedSharding(self.mesh, P(DATA_AXIS)))
-        self.state, feats, hit, overflow = k_lookup(self.state, dids, dnum)
-
-        # Host tier: gather rows the cache couldn't serve.
-        hit_np = np.asarray(hit)
-        over_np = np.asarray(overflow)
-        valid_np = np.arange(n_req)[None, :] < np.asarray(num_valid)[:, None]
-        need = valid_np & (~hit_np | over_np)
-
-        m_cap = _ceil_pow2(int(need.sum(axis=1).max()) if need.any() else 1)
-        positions = np.full((n_dev_mesh, m_cap), -1, dtype=np.int32)
-        rows = np.zeros((n_dev_mesh, m_cap, self.cfg.dim), dtype=np.float32)
-        fill_ids = np.full((n_dev_mesh, fill_cap), -1, dtype=np.int32)
-        fill_rows = np.zeros((n_dev_mesh, fill_cap, self.cfg.dim), np.float32)
-        fill_colors = np.zeros((n_dev_mesh, fill_cap), dtype=np.int32)
-
-        for d in range(n_dev_mesh):
-            pos = np.flatnonzero(need[d])
-            if pos.size == 0:
-                continue
-            miss_ids = ids[d, pos].astype(np.int64)
-            fetched = host_fetch(miss_ids)
-            positions[d, : pos.size] = pos
-            rows[d, : pos.size] = fetched
-            k = min(pos.size, fill_cap)
-            fill_ids[d, :k] = ids[d, pos[:k]]
-            fill_rows[d, :k] = fetched[:k]
-            if colors is not None:
-                fill_colors[d, :k] = colors[miss_ids[:k]]
-
-        sh2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        sh3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
-        feats = k_merge(feats, hit, jax.device_put(positions, sh2),
-                        jax.device_put(rows, sh3))
-        if fill:
-            self.state = k_fill(self.state,
-                                jax.device_put(fill_ids, sh2),
-                                jax.device_put(fill_rows, sh3),
-                                jax.device_put(fill_colors, sh2))
-        return feats
+    def prewarm(self, ids: np.ndarray, host_fetch,
+                colors: Optional[np.ndarray] = None,
+                chunk: int = 16384) -> None:
+        """Bulk-populate the cache with ``ids`` (host order, deduped by the
+        insert path). One-time cost before training; the reference reaches
+        the same warm state after its first epoch (hit ratios are printed
+        and compared per epoch, COALA_GNN_DataLoader.py:170-174)."""
+        ids = np.asarray(ids, dtype=np.int32).reshape(-1)
+        n_dev = self.mesh.devices.size
+        per = chunk * n_dev
+        for lo in range(0, len(ids), per):
+            part = ids[lo:lo + per]
+            pad = -np.ones(per - len(part), np.int32)
+            grid = np.concatenate([part, pad]).reshape(n_dev, chunk)
+            nv = np.minimum(np.maximum(len(part) - chunk * np.arange(n_dev), 0),
+                            chunk).astype(np.int32)
+            grid = np.where(grid < 0, 0, grid)
+            self.fetch(grid, nv, host_fetch, colors=colors, fill=True)
+        # prewarm traffic shouldn't count as training misses
+        self.stats()
 
     def color_meta(self) -> np.ndarray:
         """Aggregated color-occupancy counters (the get_cache_data +

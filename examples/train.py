@@ -126,13 +126,37 @@ def main(argv=None):
     tx = optax.adamw(args.learning_rate, weight_decay=args.decay) \
         if args.decay else optax.adam(args.learning_rate)
 
+    cache = None
+    if args.cache_size > 0:
+        from coala_gnn_tpu.cache import feature_cache as fc
+        from coala_gnn_tpu.cache.host_tier import HostFeatureStore
+        from coala_gnn_tpu.parallel.mesh import make_mesh
+        from coala_gnn_tpu.parallel.sharded_cache import ShardedFeatureCache
+
+        mesh = make_mesh(jax.devices()[:1])
+        cfg = fc.make_config(cache_mb=args.cache_size, dim=ds.feature_dim,
+                             num_colors=0 if meta is None else meta.num_colors)
+        cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="isolated")
+        store = HostFeatureStore(ds.features)
+        scheduler.meta_fn = cache.color_meta
+        print(f"cache: {cfg.num_sets} sets x {cfg.ways} ways "
+              f"({cfg.size_mb:.0f} MB)")
+
     def fetch(ids):
         return jnp.asarray(ds.features[ids])
+
+    def fetch_batch(batch):
+        if cache is None:
+            return fetch(batch.input_ids)
+        return cache.fetch(batch.input_ids[None, :],
+                           np.asarray([batch.num_input], np.int32),
+                           store.fetch,
+                           colors=None if meta is None else meta.color)[0]
 
     batch0 = sampler.sample(scheduler.run())
     scheduler.reset(args.seed)
     db0 = blocks_to_device(batch0.blocks)
-    x0 = fetch(batch0.input_ids)
+    x0 = fetch_batch(batch0)
     state = init_state(model, tx, db0, x0, seed=args.seed)
     params, opt_state = state.params, state.opt_state
     train_step = make_train_step(model, tx, B)
@@ -151,7 +175,7 @@ def main(argv=None):
             seeds = sampler.sample(scheduler.run())
             ta = time.perf_counter()
             dblocks = blocks_to_device(seeds.blocks)
-            x = fetch(seeds.input_ids)
+            x = fetch_batch(seeds)
             agg_time += time.perf_counter() - ta
             labels = jnp.asarray(ds.labels[seeds.seeds].astype(np.int32))
             key, sub = jax.random.split(key)
@@ -164,6 +188,11 @@ def main(argv=None):
         print(f"Epoch {epoch} | loss {float(loss):.4f} | batch acc "
               f"{float(acc):.4f} | Epoch Time: {dt:.3f}s | feature agg time "
               f"{agg_time:.3f}s | sampled nodes {sampled_total}")
+        if cache is not None:
+            # per-epoch stats print parity (COALA_GNN_DataLoader.py:170-174)
+            s = cache.stats()
+            print(f"Cache hit ratio: {s['hit_ratio']:.3f} "
+                  f"({s['hits']} hits / {s['misses']} misses)")
         scheduler.reset(args.seed + epoch + 1)
 
     if args.eval:
@@ -174,7 +203,7 @@ def main(argv=None):
             seeds = ds.test_idx[i * B:(i + 1) * B]
             batch = sampler.sample(seeds)
             dblocks = blocks_to_device(batch.blocks)
-            x = fetch(batch.input_ids)
+            x = fetch_batch(batch)
             labels = jnp.asarray(ds.labels[batch.seeds].astype(np.int32))
             c, t = eval_step(params, dblocks, x, labels)
             correct += int(c)

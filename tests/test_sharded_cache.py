@@ -117,6 +117,30 @@ def test_isolated_cache_is_private(store):
     assert s["misses"] == (n_dev - 1) * 16
 
 
+def test_pipelined_begin_complete_matches_sync(store):
+    """fetch_begin/fetch_complete one-batch-ahead pipelining returns the
+    same features as the synchronous path."""
+    cache, mesh = make_cache("sharded")
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(7)
+    batches = [_request(rng, n_dev, 32, 30) for _ in range(4)]
+
+    handles = []
+    outs = []
+    pending = None
+    for ids, nv in batches:
+        h = cache.fetch_begin(ids, nv)
+        if pending is not None:
+            outs.append(np.asarray(cache.fetch_complete(pending, store.fetch)))
+        pending = h
+    outs.append(np.asarray(cache.fetch_complete(pending, store.fetch)))
+
+    for (ids, nv), feats in zip(batches, outs):
+        for d in range(n_dev):
+            np.testing.assert_allclose(feats[d, :30], store.features[ids[d, :30]],
+                                       rtol=1e-6)
+
+
 def test_color_meta_aggregation(store):
     num_colors = 6
     cache, mesh = make_cache("sharded", num_colors=num_colors)
