@@ -28,6 +28,8 @@ def log(*a):
 
 
 def main():
+    from coala_gnn_tpu.utils.jaxconfig import setup as jax_setup
+    jax_setup()
     import jax
     import jax.numpy as jnp
     import optax
@@ -62,10 +64,14 @@ def main():
     loader = CoalaDataLoader(scheduler=scheduler, sampler=sampler,
                              labels=ds.labels, local_size=1, prefetch=2)
 
+    from coala_gnn_tpu.data.packing import batch_layout, pack_batch
+    from coala_gnn_tpu.parallel.train import make_packed_train_step
+
     model = make_model("sage", hidden=hidden, num_classes=ds.num_classes,
                        num_layers=len(fanouts))
     tx = optax.adam(1e-3)
-    step_fn = make_train_step(model, tx, B)
+    layout = batch_layout(sampler.caps, fanouts)
+    step_fn = make_packed_train_step(model, tx, B, layout)
 
     # HBM feature cache (the whole point): steady-state hits mean features
     # come from device HBM instead of crossing host->device every step.
@@ -110,22 +116,24 @@ def main():
             break
         hb, handle = pending.pop(0)
         pull()  # start next batch's probe before resolving this one
-        blocks = [DeviceBlock(adj=jnp.asarray(hb.adjs[l][0]),
-                              mask=jnp.asarray(hb.masks[l][0]))
-                  for l in range(len(fanouts))]
+        packed = jnp.asarray(pack_batch([a[0] for a in hb.adjs],
+                                        [m[0] for m in hb.masks],
+                                        hb.labels[0]))
         if cache is not None:
             x = cache.fetch_complete(handle, store.fetch)[0]
         else:
             x = jnp.asarray(ds.features[hb.input_ids[0]])
-        labels = jnp.asarray(hb.labels[0])
         if params is None:
             log(f"bench: first batch ready (sampled {hb.sampled_nodes} nodes); "
                 "initializing + compiling...")
-            params = model.init(jax.random.key(1), blocks, x)
+            blocks0 = [DeviceBlock(adj=jnp.asarray(hb.adjs[l][0]),
+                                   mask=jnp.asarray(hb.masks[l][0]))
+                       for l in range(len(fanouts))]
+            params = model.init(jax.random.key(1), blocks0, x)
             opt_state = tx.init(params)
         key, sub = jax.random.split(key)
         params, opt_state, loss, acc = step_fn(params, opt_state, sub,
-                                               blocks, x, labels)
+                                               packed, x)
         if i == 0:
             jax.block_until_ready(loss)
             log("bench: compile done, warming up")

@@ -1,0 +1,66 @@
+"""Host->device batch packing.
+
+Over a high-latency host<->device link every `device_put` is a round trip;
+a training step that ships adj / mask / labels separately pays 5+ of them.
+This module packs a whole batch into ONE int32 buffer and unpacks it inside
+the consuming jit:
+
+  - the fanout mask is folded into the adjacency sign: invalid slots become
+    -1, so ``mask = adj >= 0`` is reconstructed on device for free (the
+    reference uses -1 sentinels in its request buffers the same way,
+    ssd_gnn_cache.cuh:119);
+  - labels ride in the same buffer.
+
+This cuts per-step host->device traffic ~3x and transactions to 1.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coala_gnn_tpu.models.layers import DeviceBlock
+
+Layout = Tuple[Tuple[int, int], ...]   # ((cap_dst, fanout), ...) per layer
+
+
+def batch_layout(caps: Sequence[Tuple[int, int]],
+                 fanouts: Sequence[int]) -> Layout:
+    """Layout from sampler capacities: [(cap_dst, fanout)] per layer."""
+    return tuple((cap_dst, f) for (cap_dst, _), f in zip(caps, fanouts))
+
+
+def packed_size(layout: Layout, batch_size: int) -> int:
+    return sum(cd * f for cd, f in layout) + batch_size
+
+
+def pack_batch(adjs: Sequence[np.ndarray], masks: Sequence[np.ndarray],
+               labels: np.ndarray) -> np.ndarray:
+    """Host side: one int32 vector [sum(cap_dst*fanout) + B].
+
+    adjs/masks are per-layer [cap_dst, fanout] (single device)."""
+    parts = []
+    for adj, mask in zip(adjs, masks):
+        enc = np.where(mask > 0, adj, -1).astype(np.int32)
+        parts.append(enc.reshape(-1))
+    parts.append(np.ascontiguousarray(labels, dtype=np.int32))
+    return np.concatenate(parts)
+
+
+def unpack_batch(buf: jax.Array, layout: Layout, batch_size: int
+                 ) -> Tuple[List[DeviceBlock], jax.Array]:
+    """Device side (inside jit): buffer -> (blocks, labels)."""
+    blocks = []
+    off = 0
+    for cap_dst, fanout in layout:
+        n = cap_dst * fanout
+        enc = jax.lax.dynamic_slice_in_dim(buf, off, n).reshape(cap_dst, fanout)
+        off += n
+        mask = (enc >= 0).astype(jnp.float32)
+        adj = jnp.maximum(enc, 0)
+        blocks.append(DeviceBlock(adj=adj, mask=mask))
+    labels = jax.lax.dynamic_slice_in_dim(buf, off, batch_size)
+    return blocks, labels

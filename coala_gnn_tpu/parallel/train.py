@@ -63,6 +63,34 @@ def make_train_step(model: nn.Module, tx: optax.GradientTransformation,
     return step
 
 
+def make_packed_train_step(model: nn.Module,
+                           tx: optax.GradientTransformation,
+                           batch_size: int, layout) -> Callable:
+    """Train step consuming one packed int32 buffer (see data/packing.py):
+    blocks + labels unpack inside the jit, so each step costs a single
+    host->device transfer."""
+    from coala_gnn_tpu.data.packing import unpack_batch
+
+    def loss_fn(params, key, blocks, x, labels):
+        logits = model.apply(params, blocks, x, train=True,
+                             rngs={"dropout": key})
+        logits = logits[:batch_size]
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        return ce.mean(), logits
+
+    @jax.jit
+    def step(params, opt_state, key, packed, x):
+        blocks, labels = unpack_batch(packed, layout, batch_size)
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, key, blocks, x, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        acc = (logits.argmax(-1) == labels).mean()
+        return params, opt_state, loss, acc
+
+    return step
+
+
 def make_sharded_train_step(model: nn.Module,
                             tx: optax.GradientTransformation,
                             mesh, batch_size: int) -> Callable:

@@ -1,0 +1,23 @@
+"""Shared JAX runtime configuration.
+
+Enables the persistent compilation cache so the first-compile cost of the
+train step / cache kernels is paid once per machine, not once per process —
+essential when compiles run remotely over a slow link.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def setup(platform: str = "", cache_dir: str = "/root/.jax_compile_cache") -> None:
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or read-only fs: run without the cache

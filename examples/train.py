@@ -66,9 +66,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
+    from coala_gnn_tpu.utils.jaxconfig import setup as jax_setup
+    jax_setup(args.platform)
     import jax
     import jax.numpy as jnp
     import optax
