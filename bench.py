@@ -64,14 +64,16 @@ def main():
     loader = CoalaDataLoader(scheduler=scheduler, sampler=sampler,
                              labels=ds.labels, local_size=1, prefetch=2)
 
-    from coala_gnn_tpu.data.packing import batch_layout, pack_batch
-    from coala_gnn_tpu.parallel.train import make_packed_train_step
+    from coala_gnn_tpu.data.packing import batch_layout, pack_request
+    from coala_gnn_tpu.parallel.train import (
+        make_packed_train_step, make_request_train_step)
 
     model = make_model("sage", hidden=hidden, num_classes=ds.num_classes,
                        num_layers=len(fanouts))
     tx = optax.adam(1e-3)
     layout = batch_layout(sampler.caps, fanouts)
-    step_fn = make_packed_train_step(model, tx, B, layout)
+    n_req = sampler.caps[0][1]   # input-layer src capacity == id-list length
+    step_fn = make_request_train_step(model, tx, B, layout, n_req)
 
     # HBM feature cache (the whole point): steady-state hits mean features
     # come from device HBM instead of crossing host->device every step.
@@ -102,23 +104,33 @@ def main():
     it = iter(loader)
     pending = []  # [(hb, fetch handle)]
 
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from coala_gnn_tpu.parallel.mesh import DATA_AXIS
+
     def pull():
         try:
             hb = next(it)
         except StopIteration:
             return
-        h = cache.fetch_begin(hb.input_ids, hb.num_input) if cache is not None else None
-        pending.append((hb, h))
+        vec = pack_request(hb.input_ids[0].astype(np.int32),
+                           int(hb.num_input[0]),
+                           [a[0] for a in hb.adjs],
+                           [m[0] for m in hb.masks], hb.labels[0])
+        if cache is not None:
+            dbuf = jax.device_put(
+                vec[None, :], NamedSharding(cache.mesh, P(DATA_AXIS, None)))
+            h = cache.fetch_begin_packed(hb.input_ids, hb.num_input, dbuf, n_req)
+        else:
+            dbuf = jnp.asarray(vec[None, :])
+            h = None
+        pending.append((hb, dbuf, h))
 
     pull()
     for i in range(warmup + steps):
         if not pending:
             break
-        hb, handle = pending.pop(0)
+        hb, packed, handle = pending.pop(0)
         pull()  # start next batch's probe before resolving this one
-        packed = jnp.asarray(pack_batch([a[0] for a in hb.adjs],
-                                        [m[0] for m in hb.masks],
-                                        hb.labels[0]))
         if cache is not None:
             x = cache.fetch_complete(handle, store.fetch)[0]
         else:

@@ -50,11 +50,11 @@ def pack_batch(adjs: Sequence[np.ndarray], masks: Sequence[np.ndarray],
     return np.concatenate(parts)
 
 
-def unpack_batch(buf: jax.Array, layout: Layout, batch_size: int
-                 ) -> Tuple[List[DeviceBlock], jax.Array]:
+def unpack_batch(buf: jax.Array, layout: Layout, batch_size: int,
+                 offset: int = 0) -> Tuple[List[DeviceBlock], jax.Array]:
     """Device side (inside jit): buffer -> (blocks, labels)."""
     blocks = []
-    off = 0
+    off = offset
     for cap_dst, fanout in layout:
         n = cap_dst * fanout
         enc = jax.lax.dynamic_slice_in_dim(buf, off, n).reshape(cap_dst, fanout)
@@ -64,3 +64,31 @@ def unpack_batch(buf: jax.Array, layout: Layout, batch_size: int
         blocks.append(DeviceBlock(adj=adj, mask=mask))
     labels = jax.lax.dynamic_slice_in_dim(buf, off, batch_size)
     return blocks, labels
+
+
+# ---- full-request packing: [num_input | input_ids(n_req) | blocks | labels]
+# One buffer per batch serves BOTH the cache probe (ids prefix) and the train
+# step (blocks+labels suffix): a single host->device transaction per step.
+
+def request_size(n_req: int, layout: Layout, batch_size: int) -> int:
+    return 1 + n_req + packed_size(layout, batch_size)
+
+
+def pack_request(input_ids: np.ndarray, num_input: int,
+                 adjs: Sequence[np.ndarray], masks: Sequence[np.ndarray],
+                 labels: np.ndarray) -> np.ndarray:
+    head = np.empty(1 + input_ids.shape[0], dtype=np.int32)
+    head[0] = num_input
+    head[1:] = input_ids
+    return np.concatenate([head, pack_batch(adjs, masks, labels)])
+
+
+def unpack_request_ids(buf: jax.Array, n_req: int
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """(ids [n_req] int32, num_valid scalar) from a request buffer."""
+    return jax.lax.dynamic_slice_in_dim(buf, 1, n_req), buf[0]
+
+
+def unpack_request_batch(buf: jax.Array, n_req: int, layout: Layout,
+                         batch_size: int) -> Tuple[List[DeviceBlock], jax.Array]:
+    return unpack_batch(buf, layout, batch_size, offset=1 + n_req)

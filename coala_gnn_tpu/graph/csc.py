@@ -38,6 +38,8 @@ class CSCGraph:
     indptr: np.ndarray
     indices: np.ndarray
     edge_ids: Optional[np.ndarray] = None
+    edge_types: Optional[np.ndarray] = None  # int [num_edges]; hetero graphs
+    num_edge_types: int = 1
 
     def __post_init__(self) -> None:
         self.indptr = np.ascontiguousarray(self.indptr, dtype=np.int64)
@@ -119,4 +121,7 @@ def load_csc(path: str, mmap: bool = True) -> CSCGraph:
     g.indptr = np.asarray(indptr) if not mmap else indptr
     g.indices = indices
     g.edge_ids = edge_ids
+    et_path = os.path.join(path, "csc_edge_types.npy")
+    g.edge_types = np.load(et_path, mmap_mode=mode) if os.path.exists(et_path) else None
+    g.num_edge_types = int(g.edge_types.max()) + 1 if g.edge_types is not None else 1
     return g

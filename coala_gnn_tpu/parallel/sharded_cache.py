@@ -113,11 +113,21 @@ def _owner_rank(ids: jax.Array, valid: jax.Array, n_dev: int
 
 
 def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
+                           packed_n_req: int,
                            state: ShardedCacheState, ids: jax.Array,
                            num_valid: jax.Array):
-    """Per-device body (runs under shard_map over the data axis)."""
-    ids = ids[0]                    # [n_req] this device's request list
-    num_valid = num_valid[0]
+    """Per-device body (runs under shard_map over the data axis).
+
+    With packed_n_req > 0, ``ids`` is a full request buffer
+    [1 + n_req + ...] whose prefix holds [num_input | input_ids] (see
+    data/packing.pack_request) and ``num_valid`` is ignored."""
+    if packed_n_req > 0:
+        buf = ids[0]
+        num_valid = buf[0]
+        ids = jax.lax.dynamic_slice_in_dim(buf, 1, packed_n_req)
+    else:
+        ids = ids[0]                # [n_req] this device's request list
+        num_valid = num_valid[0]
     n_req = ids.shape[0]
     valid = jnp.arange(n_req) < num_valid
 
@@ -127,8 +137,10 @@ def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
     if n_dev == 1:
         base, feats, hit = fc.lookup(cfg, local.base, ids, valid)
         local = fc.ColoredCacheState(base=base, line_colors=local.line_colors)
-        return (_from_local(local), feats[None], hit[None],
-                jnp.zeros((1, n_req), jnp.bool_)[None][0])
+        overflow = jnp.zeros((n_req,), jnp.bool_)
+        n_miss = (valid & ~hit).sum(dtype=jnp.int32)
+        return (_from_local(local), feats[None], hit[None], overflow[None],
+                n_miss[None])
 
     owner, rank = _owner_rank(ids, valid, n_dev)
     routed = rank < c               # made it into a bucket
@@ -158,7 +170,10 @@ def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
     g_rank = jnp.where(routed, rank, 0)
     out = jnp.where((routed & valid)[:, None], resp[g_owner, g_rank], 0)
     out_hit = hit_back[g_owner, g_rank] & routed & valid
-    return _from_local(local), out[None], out_hit[None], ~routed[None] & valid[None]
+    overflow = ~routed & valid
+    n_miss = (valid & (~out_hit | overflow)).sum(dtype=jnp.int32)
+    return (_from_local(local), out[None], out_hit[None], overflow[None],
+            n_miss[None])
 
 
 def _fill_local(cfg: fc.CacheConfig, fill_cap: int, n_dev: int,
@@ -232,8 +247,8 @@ class ShardedFeatureCache:
 
     # ---- jitted kernels (built per request-shape) -------------------------
 
-    def _lookup_kernel(self, n_req: int):
-        key = ("lookup", n_req)
+    def _lookup_kernel(self, n_req: int, packed: bool = False):
+        key = ("lookup", n_req, packed)
         if key in self._jit_cache:
             return self._jit_cache[key]
         mesh, cfg, n_dev = self.mesh, self.cfg, self.n_route
@@ -241,10 +256,12 @@ class ShardedFeatureCache:
             n_req, int(self.bucket_slack * n_req / n_dev) + 1)
         state_specs = jax.tree.map(lambda _: P(DATA_AXIS), self.state)
         lookup = shard_map(
-            functools.partial(_lookup_exchange_local, cfg, bucket_cap, n_dev),
+            functools.partial(_lookup_exchange_local, cfg, bucket_cap, n_dev,
+                              n_req if packed else 0),
             mesh=mesh,
             in_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                       P(DATA_AXIS)),
             check_vma=False)
         k = jax.jit(lookup)
         self._jit_cache[key] = k
@@ -294,31 +311,52 @@ class ShardedFeatureCache:
         dids = jax.device_put(ids, NamedSharding(self.mesh, P(DATA_AXIS, None)))
         dnum = jax.device_put(np.asarray(num_valid, np.int32),
                               NamedSharding(self.mesh, P(DATA_AXIS)))
-        self.state, feats, hit, overflow = k_lookup(self.state, dids, dnum)
-        for arr in (hit, overflow):
-            try:
-                arr.copy_to_host_async()
-            except Exception:
-                pass
-        return (ids, np.asarray(num_valid, np.int32), dids, feats, hit, overflow)
+        self.state, feats, hit, overflow, n_miss = k_lookup(self.state, dids, dnum)
+        try:
+            n_miss.copy_to_host_async()
+        except Exception:
+            pass
+        return (ids, np.asarray(num_valid, np.int32), dids, feats, hit,
+                overflow, n_miss)
+
+    def fetch_begin_packed(self, ids_np: np.ndarray, num_valid: np.ndarray,
+                           dbuf: jax.Array, n_req: int):
+        """fetch_begin reading the request from an already-on-device packed
+        buffer (data/packing.pack_request): the same transfer that carries
+        the batch's blocks carries the probe's ids; only the per-device miss
+        COUNT (4 bytes) streams back in the common all-hit case."""
+        k_lookup = self._lookup_kernel(n_req, packed=True)
+        self.state, feats, hit, overflow, n_miss = k_lookup(
+            self.state, dbuf, jnp.zeros(self.mesh.devices.size, jnp.int32))
+        try:
+            n_miss.copy_to_host_async()
+        except Exception:
+            pass
+        return (np.ascontiguousarray(ids_np, np.int32),
+                np.asarray(num_valid, np.int32), None, feats, hit, overflow,
+                n_miss)
 
     def fetch_complete(self, handle, host_fetch,
                        colors: Optional[np.ndarray] = None,
                        fill: bool = True) -> jax.Array:
         """Resolve a fetch_begin handle: gather misses from the host tier,
         merge them into the output, and push them into their owner shards."""
-        ids, num_valid, dids, feats, hit, overflow = handle
+        ids, num_valid, dids, feats, hit, overflow, n_miss = handle
         n_dev_mesh = self.mesh.devices.size
         n_req = ids.shape[1]
+
+        # Fast path: only the miss COUNT crosses device->host. All-hit
+        # steady state never reads the full masks.
+        if not np.asarray(n_miss).any():
+            return feats
 
         # Host tier: gather rows the cache couldn't serve.
         hit_np = np.asarray(hit)
         over_np = np.asarray(overflow)
         valid_np = np.arange(n_req)[None, :] < num_valid[:, None]
         need = valid_np & (~hit_np | over_np)
-        if not need.any():
-            # Pure-hit steady state: nothing to transfer or insert.
-            return feats
+        if dids is None:  # packed-begin path: ship ids only on the miss path
+            dids = jax.device_put(ids, NamedSharding(self.mesh, P(DATA_AXIS, None)))
 
         # Compact transfer buffers sized to the actual miss count (rounded to
         # a power of two to bound recompiles); rows are shipped exactly once

@@ -58,6 +58,8 @@ class Block:
     mask: np.ndarray
     num_dst: int
     num_src: int
+    rel: Optional[np.ndarray] = None  # int32 [cap_dst, fanout] edge types
+                                      # (hetero graphs only; 0 elsewhere)
 
     @property
     def cap_dst(self) -> int:
@@ -120,10 +122,14 @@ def _sample_layer_numpy(graph: CSCGraph, dst_ids: np.ndarray, fanout: int,
     # deg<=f: offset = slot index (take all); deg>f: uniform draws w/ replacement.
     rand_off = (rng.random((n, fanout)) * np.maximum(deg, 1)[:, None]).astype(np.int64)
     offsets = np.where(small, np.minimum(k, np.maximum(deg[:, None] - 1, 0)), rand_off)
-    nbr = graph.indices[(starts[:, None] + offsets)].astype(np.int64)
+    edge_pos = starts[:, None] + offsets
+    nbr = graph.indices[edge_pos].astype(np.int64)
     # Masked slots: point at the dst itself (safe local mapping, zero weight).
     nbr = np.where(mask, nbr, dst_ids[:, None])
-    return nbr, mask
+    rel = None
+    if graph.edge_types is not None:
+        rel = np.where(mask, graph.edge_types[edge_pos], 0).astype(np.int32)
+    return nbr, mask, rel
 
 
 class NeighborSampler:
@@ -152,11 +158,14 @@ class NeighborSampler:
                 self._native = None
 
     def _sample_layer(self, dst_ids, fanout):
-        if self._native is not None:
+        # Hetero graphs need per-slot edge types -> NumPy path (the native
+        # kernel returns neighbor ids only; typed sampling lands there later).
+        if self._native is not None and self.graph.edge_types is None:
             from coala_gnn_tpu.native import lib as native_lib
-            return native_lib.sample_layer(
+            nbr, mask = native_lib.sample_layer(
                 self._native, self.graph, dst_ids, fanout,
                 int(self.rng.integers(0, 2**63 - 1)))
+            return nbr, mask, None
         return _sample_layer_numpy(self.graph, dst_ids, fanout, self.rng)
 
     def sample(self, seeds: np.ndarray) -> SampledBatch:
@@ -170,8 +179,9 @@ class NeighborSampler:
         for layer in range(len(self.fanouts) - 1, -1, -1):
             fanout = self.fanouts[layer]
             cap_dst, cap_src = self.caps[layer]
-            nbr, mask = self._sample_layer(dst_ids, fanout)
-            blocks.insert(0, _build_block(dst_ids, nbr, mask, cap_dst, cap_src))
+            nbr, mask, rel = self._sample_layer(dst_ids, fanout)
+            blocks.insert(0, _build_block(dst_ids, nbr, mask, cap_dst, cap_src,
+                                          rel))
             dst_ids = blocks[0].src_ids[: blocks[0].num_src]
         b0 = blocks[0]
         return SampledBatch(blocks=blocks, seeds=seeds,
@@ -179,7 +189,8 @@ class NeighborSampler:
 
 
 def _build_block(dst_ids: np.ndarray, nbr: np.ndarray, mask: np.ndarray,
-                 cap_dst: int, cap_src: int) -> Block:
+                 cap_dst: int, cap_src: int,
+                 rel: Optional[np.ndarray] = None) -> Block:
     """Dedup sampled frontier into a src array (dst prefix preserved) and
     relabel adj into local indices; pad everything to capacity."""
     n_dst, fanout = nbr.shape
@@ -202,5 +213,9 @@ def _build_block(dst_ids: np.ndarray, nbr: np.ndarray, mask: np.ndarray,
     adj_pad[:n_dst] = adj
     mask_pad = np.zeros((cap_dst, fanout), dtype=np.float32)
     mask_pad[:n_dst] = mask
+    rel_pad = None
+    if rel is not None:
+        rel_pad = np.zeros((cap_dst, fanout), dtype=np.int32)
+        rel_pad[:n_dst] = rel
     return Block(src_ids=src_pad, adj=adj_pad, mask=mask_pad,
-                 num_dst=n_dst, num_src=num_src)
+                 num_dst=n_dst, num_src=num_src, rel=rel_pad)

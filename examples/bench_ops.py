@@ -67,6 +67,17 @@ def main():
         traffic = (N * F * D + N * D) * bytes_per
         print(f"{name:24s} {dt * 1e3:8.3f} ms   {traffic / dt / 1e9:8.1f} GB/s")
 
+    # Pallas ELL-SpMM kernel (explicit DMA schedule)
+    if jax.default_backend() == "tpu":
+        from coala_gnn_tpu.ops.pallas_spmm import ell_spmm_pallas
+        try:
+            dt = timeit(ell_spmm_pallas, x32, adj, w)
+            traffic = (N * F * D + N * D) * 4
+            print(f"{'pallas ell_spmm f32':24s} {dt * 1e3:8.3f} ms   "
+                  f"{traffic / dt / 1e9:8.1f} GB/s")
+        except Exception as e:
+            print(f"pallas ell_spmm: FAILED ({type(e).__name__}: {e})")
+
     # plain gather (roofline probe: what the backend's gather achieves)
     flat = adj.reshape(-1)
     g = jax.jit(lambda x, i: x[i])

@@ -32,7 +32,8 @@ def parse_args(argv=None):
     p.add_argument("--dataset_size", type=str, default="tiny")
     p.add_argument("--num_classes", type=int, default=16)
     p.add_argument("--model_type", type=str, default="sage",
-                   choices=["sage", "distsage", "gcn", "gat"])
+                   choices=["sage", "distsage", "gcn", "gat",
+                            "rsage", "rgcn", "rgat"])
     p.add_argument("--fan_out", type=str, default="5,5")
     p.add_argument("--batch_size", type=int, default=1024)
     p.add_argument("--hidden_channels", type=int, default=128)
@@ -56,6 +57,9 @@ def parse_args(argv=None):
     p.add_argument("--max_steps", type=int, default=0,
                    help="truncate each epoch (0 = full epoch)")
     # synthetic dataset knobs
+    p.add_argument("--num_edge_types", type=int, default=1,
+                   help=">1 turns the synthetic graph heterogeneous "
+                        "(random edge types) for rsage/rgcn/rgat")
     p.add_argument("--num_nodes", type=int, default=100_000)
     p.add_argument("--avg_degree", type=int, default=15)
     p.add_argument("--feature_dim", type=int, default=128)
@@ -95,9 +99,18 @@ def main(argv=None):
         ds = load_dataset(args.data, path=args.path,
                           dataset_size=args.dataset_size,
                           num_classes=args.num_classes)
+    hetero = args.model_type in ("rsage", "rgcn", "rgat")
+    if hetero and ds.graph.edge_types is None:
+        if args.num_edge_types < 2:
+            args.num_edge_types = 3
+        et_rng = np.random.default_rng(args.seed)
+        ds.graph.edge_types = et_rng.integers(
+            0, args.num_edge_types, ds.graph.num_edges).astype(np.int32)
+        ds.graph.num_edge_types = args.num_edge_types
     print(f"dataset {ds.name}: {ds.graph.num_nodes} nodes, "
           f"{ds.graph.num_edges} edges, dim {ds.feature_dim}, "
-          f"{ds.num_classes} classes, {len(ds.train_idx)} train")
+          f"{ds.num_classes} classes, {len(ds.train_idx)} train"
+          + (f", {ds.graph.num_edge_types} edge types" if hetero else ""))
 
     B = args.batch_size
     sampler = NeighborSampler(ds.graph, fanouts, B, seed=args.seed)
@@ -119,9 +132,20 @@ def main(argv=None):
                                       refresh_counter=args.refresh_counter)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = make_model(args.model_type, hidden=args.hidden_channels,
-                       num_classes=ds.num_classes, num_layers=num_layers,
-                       num_heads=args.num_heads, dtype=dtype)
+    if hetero:
+        from coala_gnn_tpu.models.hetero import (
+            hetero_blocks_to_device, make_hetero_model)
+        model = make_hetero_model(args.model_type, hidden=args.hidden_channels,
+                                  num_classes=ds.num_classes,
+                                  num_rels=ds.graph.num_edge_types,
+                                  num_layers=num_layers,
+                                  num_heads=args.num_heads, dtype=dtype)
+        to_device = hetero_blocks_to_device
+    else:
+        model = make_model(args.model_type, hidden=args.hidden_channels,
+                           num_classes=ds.num_classes, num_layers=num_layers,
+                           num_heads=args.num_heads, dtype=dtype)
+        to_device = blocks_to_device
     tx = optax.adamw(args.learning_rate, weight_decay=args.decay) \
         if args.decay else optax.adam(args.learning_rate)
 
@@ -154,7 +178,7 @@ def main(argv=None):
 
     batch0 = sampler.sample(scheduler.run())
     scheduler.reset(args.seed)
-    db0 = blocks_to_device(batch0.blocks)
+    db0 = to_device(batch0.blocks)
     x0 = fetch_batch(batch0)
     state = init_state(model, tx, db0, x0, seed=args.seed)
     params, opt_state = state.params, state.opt_state
@@ -173,7 +197,7 @@ def main(argv=None):
         for it in range(steps_per_epoch):
             seeds = sampler.sample(scheduler.run())
             ta = time.perf_counter()
-            dblocks = blocks_to_device(seeds.blocks)
+            dblocks = to_device(seeds.blocks)
             x = fetch_batch(seeds)
             agg_time += time.perf_counter() - ta
             labels = jnp.asarray(ds.labels[seeds.seeds].astype(np.int32))
@@ -201,7 +225,7 @@ def main(argv=None):
         for i in range(n_eval):
             seeds = ds.test_idx[i * B:(i + 1) * B]
             batch = sampler.sample(seeds)
-            dblocks = blocks_to_device(batch.blocks)
+            dblocks = to_device(batch.blocks)
             x = fetch_batch(batch)
             labels = jnp.asarray(ds.labels[batch.seeds].astype(np.int32))
             c, t = eval_step(params, dblocks, x, labels)
