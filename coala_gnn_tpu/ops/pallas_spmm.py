@@ -2,18 +2,23 @@
 
 out[i, :] = sum_k w[i, k] * x[adj[i, k], :]
 
-This is the framework's aggregation hot op in explicit kernel form. The
-feature matrix stays in HBM (it never fits VMEM); neighbor rows stream in
-through a ring of async DMAs (double/多-buffered) while the VPU accumulates —
-the Pallas analogue of the reference's warp-cooperative gather loop
-(nvshmem_cache.h:37-51 warp_memcpy + get_data row streaming), rebuilt around
-the TPU DMA engine instead of warp loads.
+This is the framework's aggregation hot op in explicit kernel form, for the
+regime where the feature matrix is HBM-resident and too large for XLA to
+stage into VMEM. Neighbor rows stream in through a ring of async DMAs while
+the VPU accumulates — the Pallas analogue of the reference's
+warp-cooperative gather loop (nvshmem_cache.h:37-51 warp_memcpy + get_data
+row streaming), rebuilt around the TPU DMA engine.
 
-The XLA gather-based formulation (ops/aggregate.py) is the production
-default; this kernel exists to (a) own the schedule where XLA's choices are
-opaque, (b) serve as the template for fused variants (e.g. gather+ReLU or
-quantized lines), and (c) back the op-level roofline bench
-(examples/bench_ops.py measures both and prints achieved GB/s).
+HBM slices must be sublane-aligned (8 rows for f32), so the feature matrix
+is viewed as [S/8, 8, D] row groups; each DMA moves one 8-row group and the
+kernel selects the target row in VMEM (8x overfetch — the price of aligned
+DMA; fine when fanout rows are scattered anyway).
+
+NOTE (measured on v5e, examples/bench_ops.py): for working sets that fit
+VMEM (every per-batch gather in this framework), XLA's native gather runs
+from VMEM-staged features at far above HBM bandwidth — the XLA formulation
+in ops/aggregate.py is the production path. This kernel is for
+HBM-scale operands and as the template for fused variants.
 """
 
 from __future__ import annotations
@@ -25,8 +30,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-N_BUF = 8          # in-flight row DMAs
+N_BUF = 8          # in-flight row-group DMAs
 TILE_N = 256       # dst rows per grid step
+GROUP = 8          # f32 sublane alignment for HBM slices
 
 
 def _kernel(fanout: int, dim: int, tile_n: int, n_valid: int,
@@ -38,11 +44,10 @@ def _kernel(fanout: int, dim: int, tile_n: int, n_valid: int,
     def start(slot, t):
         i = t // fanout
         k = t % fanout
-        idx = adj_ref[i, k]
-        pltpu.make_async_copy(x_hbm.at[idx], rows.at[slot],
+        g = adj_ref[i, k] // GROUP
+        pltpu.make_async_copy(x_hbm.at[g], rows.at[slot],
                               sems.at[slot]).start()
 
-    # Warm the DMA ring.
     for s in range(min(N_BUF, total)):
         start(s, s)
 
@@ -50,9 +55,10 @@ def _kernel(fanout: int, dim: int, tile_n: int, n_valid: int,
         def k_body(k, acc):
             t = i * fanout + k
             slot = t % N_BUF
-            pltpu.make_async_copy(x_hbm.at[adj_ref[i, k]], rows.at[slot],
+            idx = adj_ref[i, k]
+            pltpu.make_async_copy(x_hbm.at[idx // GROUP], rows.at[slot],
                                   sems.at[slot]).wait()
-            acc = acc + rows[slot][None, :] * w_ref[i, k]
+            acc = acc + rows[slot, idx % GROUP][None, :] * w_ref[i, k]
 
             @pl.when(t + N_BUF < total)
             def _():
@@ -76,16 +82,19 @@ def _kernel(fanout: int, dim: int, tile_n: int, n_valid: int,
 def ell_spmm_pallas(x: jax.Array, adj: jax.Array, w: jax.Array,
                     interpret: bool = False) -> jax.Array:
     """x [S, D] f32 (D multiple of 128), adj int32 [N, F], w f32 [N, F]
-    -> out [N, D] f32. Rows of `adj` beyond N are unused; weights of 0 make
-    any slot a no-op (mask folded into w)."""
+    -> out [N, D] f32. Weights of 0 make any slot a no-op (mask folded
+    into w)."""
     n, fanout = adj.shape
-    dim = x.shape[1]
+    s, dim = x.shape
     tile_n = min(TILE_N, n)
     n_tiles = pl.cdiv(n, tile_n)
     n_pad = n_tiles * tile_n
     if n_pad != n:
         adj = jnp.pad(adj, ((0, n_pad - n), (0, 0)))
         w = jnp.pad(w, ((0, n_pad - n), (0, 0)))
+    s_pad = ((s + GROUP - 1) // GROUP) * GROUP
+    xg = jnp.pad(x.astype(jnp.float32), ((0, s_pad - s), (0, 0)))
+    xg = xg.reshape(s_pad // GROUP, GROUP, dim)
 
     out = pl.pallas_call(
         functools.partial(_kernel, fanout, dim, tile_n, n),
@@ -101,9 +110,9 @@ def ell_spmm_pallas(x: jax.Array, adj: jax.Array, w: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, dim), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((N_BUF, dim), jnp.float32),
+            pltpu.VMEM((N_BUF, GROUP, dim), jnp.float32),
             pltpu.SemaphoreType.DMA((N_BUF,)),
         ],
         interpret=interpret,
-    )(adj, w, x.astype(jnp.float32))
+    )(adj, w, xg)
     return out[:n]

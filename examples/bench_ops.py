@@ -22,14 +22,20 @@ import numpy as np
 
 
 def timeit(fn, *args, warmup=3, iters=20):
+    """Times `iters` executions with a real data dependency chained through
+    every iteration and a host readback at the end — block_until_ready alone
+    under-reports on remote/experimental backends."""
     import jax
+    import jax.numpy as jnp
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.asarray(out).ravel()[0])
+    acc = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        acc = acc + jnp.asarray(out).ravel()[0].astype(jnp.float32)
+    float(acc)  # forces the whole chain
     return (time.perf_counter() - t0) / iters
 
 

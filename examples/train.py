@@ -65,6 +65,10 @@ def parse_args(argv=None):
     p.add_argument("--feature_dim", type=int, default=128)
     p.add_argument("--platform", type=str, default="",
                    help="force jax platform (cpu for smoke tests)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler trace of epoch 0 here "
+                        "(replaces the reference's wall-clock-only timers, "
+                        "SURVEY.md §5)")
     return p.parse_args(argv)
 
 
@@ -191,6 +195,8 @@ def main(argv=None):
 
     sampled_total = 0
     for epoch in range(args.epochs):
+        if args.profile_dir and epoch == 0:
+            jax.profiler.start_trace(args.profile_dir)
         t0 = time.perf_counter()
         agg_time = 0.0
         loss = acc = None
@@ -206,6 +212,9 @@ def main(argv=None):
                                                       dblocks, x, labels)
             sampled_total += seeds.num_input
         jax.block_until_ready(loss)
+        if args.profile_dir and epoch == 0:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile_dir}")
         dt = time.perf_counter() - t0
         # Per-epoch print parity (sbatch_ssd_gnn_train.py:147-150).
         print(f"Epoch {epoch} | loss {float(loss):.4f} | batch acc "
