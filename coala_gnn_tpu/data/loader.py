@@ -36,6 +36,7 @@ class HostBatch(NamedTuple):
     seeds: np.ndarray          # int64 [n_dev, batch]
     labels: np.ndarray         # int32 [n_dev, batch]
     sampled_nodes: int         # total valid sampled nodes (stats parity)
+    rels: Optional[List[np.ndarray]] = None  # per layer int32 (hetero only)
 
 
 @dataclasses.dataclass
@@ -67,13 +68,17 @@ class CoalaDataLoader:
                 for l in range(n_layers)]
         masks = [np.stack([b.blocks[l].mask for b in per_dev])
                  for l in range(n_layers)]
+        rels = None
+        if per_dev[0].blocks[0].rel is not None:
+            rels = [np.stack([b.blocks[l].rel for b in per_dev])
+                    for l in range(n_layers)]
         input_ids = np.stack([b.input_ids for b in per_dev])
         num_input = np.asarray([b.num_input for b in per_dev], np.int32)
         seeds = np.stack([b.seeds for b in per_dev])
         return HostBatch(
             adjs=adjs, masks=masks, input_ids=input_ids, num_input=num_input,
             seeds=seeds, labels=self.labels[seeds].astype(np.int32),
-            sampled_nodes=int(num_input.sum()))
+            sampled_nodes=int(num_input.sum()), rels=rels)
 
     def __iter__(self) -> Iterator[HostBatch]:
         if self.prefetch <= 0:

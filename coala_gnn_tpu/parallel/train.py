@@ -176,6 +176,34 @@ def make_sharded_train_step(model: nn.Module,
     return step
 
 
+def make_sharded_eval_step(model: nn.Module, mesh, batch_size: int) -> Callable:
+    """Data-parallel eval: per-device argmax-correct counts psum'd over the
+    mesh (replaces the reference's per-rank accuracy + sklearn reduce,
+    sbatch_ssd_gnn_train.py:178-193)."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from coala_gnn_tpu.parallel.mesh import DATA_AXIS
+
+    def local_eval(params, blocks, x, labels):
+        blocks = jax.tree.map(lambda a: a[0], blocks)
+        x, labels = x[0], labels[0]
+        logits = model.apply(params, blocks, x, train=False)[:batch_size]
+        correct = (logits.argmax(-1) == labels).sum()
+        return jax.lax.psum(correct, DATA_AXIS)
+
+    def sharded(params, blocks, x, labels):
+        params_spec = jax.tree.map(lambda _: P(), params)
+        blocks_spec = jax.tree.map(lambda _: P(DATA_AXIS), blocks)
+        return shard_map(
+            local_eval, mesh=mesh,
+            in_specs=(params_spec, blocks_spec, P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(), check_vma=False)(params, blocks, x, labels)
+
+    return jax.jit(sharded)
+
+
 def make_eval_step(model: nn.Module, batch_size: int) -> Callable:
     @jax.jit
     def step(params, blocks, x, labels) -> Tuple[jax.Array, jax.Array]:

@@ -15,6 +15,9 @@ def setup(platform: str = "", cache_dir: str = "/root/.jax_compile_cache") -> No
 
     if platform:
         jax.config.update("jax_platforms", platform)
+    n_cpu = os.environ.get("COALA_CPU_DEVICES")
+    if platform == "cpu" and n_cpu:
+        jax.config.update("jax_num_cpu_devices", int(n_cpu))
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

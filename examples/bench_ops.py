@@ -21,21 +21,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timeit(fn, *args, warmup=3, iters=20):
-    """Times `iters` executions with a real data dependency chained through
-    every iteration and a host readback at the end — block_until_ready alone
-    under-reports on remote/experimental backends."""
+def timeit(fn, *args, warmup=1, iters=20):
+    """Device-throughput timing: run `iters` executions inside ONE jit via
+    fori_loop (single dispatch; per-call host RTT excluded), with the first
+    operand perturbed per iteration so XLA cannot hoist the body, and a real
+    host readback at the end. block_until_ready alone under-reports on
+    remote/experimental backends and per-dispatch RTT would otherwise
+    dominate (~6 ms on this tunnel)."""
     import jax
     import jax.numpy as jnp
+
+    x0, rest = args[0], args[1:]
+
+    @jax.jit
+    def many(x0, *rest):
+        def body(i, acc):
+            xi = x0 + (i.astype(x0.dtype) * jnp.asarray(1e-30, x0.dtype)
+                       if jnp.issubdtype(x0.dtype, jnp.floating) else 0)
+            out = fn(xi, *rest)
+            return acc + out.ravel()[0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
     for _ in range(warmup):
-        out = fn(*args)
-    float(jnp.asarray(out).ravel()[0])
-    acc = jnp.zeros((), jnp.float32)
+        float(many(x0, *rest))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-        acc = acc + jnp.asarray(out).ravel()[0].astype(jnp.float32)
-    float(acc)  # forces the whole chain
+    float(many(x0, *rest))
     return (time.perf_counter() - t0) / iters
 
 

@@ -45,6 +45,11 @@ def parse_args(argv=None):
     p.add_argument("--num_heads", type=int, default=4)
     p.add_argument("--cache_size", type=int, default=0,
                    help="feature cache MB; 0 = direct host gather")
+    p.add_argument("--cache_backend", type=str, default="sharded",
+                   choices=["sharded", "isolated", "nvshmem", "nccl"],
+                   help="nvshmem/nccl (reference names) alias sharded")
+    p.add_argument("--devices", type=int, default=0,
+                   help="limit local devices (0 = all)")
     p.add_argument("--distribution", type=str, default="baseline",
                    choices=["baseline", "node_color"])
     p.add_argument("--refresh_counter", type=int, default=8)
@@ -120,20 +125,37 @@ def main(argv=None):
     sampler = NeighborSampler(ds.graph, fanouts, B, seed=args.seed)
     print(f"sampler native: {sampler._native is not None}")
 
-    # Seed distribution: single host => 1 part; still exercises the same
-    # scheduler/distributor machinery as multi-host.
+    # Process topology: one process per host, all local devices on the mesh
+    # data axis (replaces the reference's one-process-per-GPU + MPI split,
+    # Shared_Tensor.py:24-56). "part" in the distributor == host.
+    from coala_gnn_tpu.parallel.mesh import DATA_AXIS, make_mesh
+    from coala_gnn_tpu.parallel.multihost import (
+        initialize_distributed, make_meta_exchange_fn, topology)
+
+    initialize_distributed()
+    n_hosts, host_id, _ = topology()
+    devices = jax.local_devices()
+    if args.devices:
+        devices = devices[: args.devices]
+    n_dev = len(devices)
+    mesh = make_mesh(jax.devices() if n_hosts > 1 else devices)
+    print(f"hosts: {n_hosts} (this={host_id}), local devices: {n_dev}")
+
     meta = None
     if args.distribution == "node_color":
         meta = load_color_metadata(args.color_dir)
     distributor = SeedDistributor(
-        ds.train_idx, batch_size=B, local_size=1, num_parts=1,
+        ds.train_idx, batch_size=B, local_size=n_dev, num_parts=n_hosts,
         mode=args.distribution,
         color=None if meta is None else meta.color,
         topk_colors=None if meta is None else meta.topk,
         affinity=None if meta is None else meta.score,
         shuffle_seed=args.seed)
-    scheduler = DistributionScheduler(distributor, part_id=0, local_rank=0,
-                                      refresh_counter=args.refresh_counter)
+    scheduler = DistributionScheduler(
+        distributor, part_id=host_id, local_rank=0,
+        meta_exchange_fn=(make_meta_exchange_fn(meta.num_colors)
+                          if meta is not None else None),
+        refresh_counter=args.refresh_counter)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if hetero:
@@ -153,46 +175,63 @@ def main(argv=None):
     tx = optax.adamw(args.learning_rate, weight_decay=args.decay) \
         if args.decay else optax.adam(args.learning_rate)
 
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from coala_gnn_tpu.cache.host_tier import HostFeatureStore
+    from coala_gnn_tpu.data.loader import CoalaDataLoader
+    from coala_gnn_tpu.models.hetero import DeviceHeteroBlock
+    from coala_gnn_tpu.models.layers import DeviceBlock
+    from coala_gnn_tpu.parallel.sharded_cache import ShardedFeatureCache
+    from coala_gnn_tpu.parallel.train import (
+        make_sharded_eval_step, make_sharded_train_step)
+
+    store = HostFeatureStore(ds.features)
     cache = None
     if args.cache_size > 0:
         from coala_gnn_tpu.cache import feature_cache as fc
-        from coala_gnn_tpu.cache.host_tier import HostFeatureStore
-        from coala_gnn_tpu.parallel.mesh import make_mesh
-        from coala_gnn_tpu.parallel.sharded_cache import ShardedFeatureCache
 
-        mesh = make_mesh(jax.devices()[:1])
+        # backend names accept the reference's (Cache_compare_script.sh:28-34):
+        # nvshmem/nccl -> the one all_to_all sharded exchange; isolated -> private
+        mode = {"nvshmem": "sharded", "nccl": "sharded",
+                "sharded": "sharded", "isolated": "isolated"}[args.cache_backend]
         cfg = fc.make_config(cache_mb=args.cache_size, dim=ds.feature_dim,
-                             num_colors=0 if meta is None else meta.num_colors)
-        cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="isolated")
-        store = HostFeatureStore(ds.features)
-        scheduler.meta_fn = cache.color_meta
-        print(f"cache: {cfg.num_sets} sets x {cfg.ways} ways "
-              f"({cfg.size_mb:.0f} MB)")
+                             num_colors=0 if meta is None else meta.num_colors,
+                             num_shards=mesh.devices.size if mode == "sharded" else 1)
+        cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode=mode)
+        scheduler.meta_fn = cache.local_color_meta
+        print(f"cache[{mode}]: {cfg.num_sets} sets x {cfg.ways} ways "
+              f"({cfg.size_mb:.0f} MB per device)")
 
-    def fetch(ids):
-        return jnp.asarray(ds.features[ids])
+    loader = CoalaDataLoader(scheduler=scheduler, sampler=sampler,
+                             labels=ds.labels, local_size=n_dev, prefetch=2)
+    sh = NamedSharding(mesh, P(DATA_AXIS))
 
-    def fetch_batch(batch):
+    def to_device_stacked(hb):
+        if hetero:
+            return [DeviceHeteroBlock(adj=jax.device_put(a, sh),
+                                      mask=jax.device_put(m, sh),
+                                      rel=jax.device_put(r, sh))
+                    for a, m, r in zip(hb.adjs, hb.masks, hb.rels)]
+        return [DeviceBlock(adj=jax.device_put(a, sh),
+                            mask=jax.device_put(m, sh))
+                for a, m in zip(hb.adjs, hb.masks)]
+
+    def fetch_batch(hb):
         if cache is None:
-            return fetch(batch.input_ids)
-        return cache.fetch(batch.input_ids[None, :],
-                           np.asarray([batch.num_input], np.int32),
-                           store.fetch,
-                           colors=None if meta is None else meta.color)[0]
+            x = np.stack([store.fetch(ids) for ids in hb.input_ids])
+            return jax.device_put(x, sh)
+        return cache.fetch(hb.input_ids, hb.num_input, store.fetch,
+                           colors=None if meta is None else meta.color)
 
-    batch0 = sampler.sample(scheduler.run())
-    scheduler.reset(args.seed)
-    db0 = to_device(batch0.blocks)
-    x0 = fetch_batch(batch0)
-    state = init_state(model, tx, db0, x0, seed=args.seed)
-    params, opt_state = state.params, state.opt_state
-    train_step = make_train_step(model, tx, B)
+    train_step = make_sharded_train_step(model, tx, mesh, B)
+    eval_step = make_sharded_eval_step(model, mesh, B)
     key = jax.random.key(args.seed)
 
-    steps_per_epoch = distributor.num_iters
+    steps_per_epoch = len(loader)
     if args.max_steps:
         steps_per_epoch = min(steps_per_epoch, args.max_steps)
 
+    params = opt_state = None
     sampled_total = 0
     for epoch in range(args.epochs):
         if args.profile_dir and epoch == 0:
@@ -200,17 +239,24 @@ def main(argv=None):
         t0 = time.perf_counter()
         agg_time = 0.0
         loss = acc = None
-        for it in range(steps_per_epoch):
-            seeds = sampler.sample(scheduler.run())
+        for it, hb in enumerate(loader):
+            if it >= steps_per_epoch:
+                break
+            dblocks = to_device_stacked(hb)
             ta = time.perf_counter()
-            dblocks = to_device(seeds.blocks)
-            x = fetch_batch(seeds)
+            x = fetch_batch(hb)
             agg_time += time.perf_counter() - ta
-            labels = jnp.asarray(ds.labels[seeds.seeds].astype(np.int32))
+            labels = jax.device_put(hb.labels, sh)
+            if params is None:
+                single = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]),
+                                      dblocks)
+                params = model.init(jax.random.key(args.seed), single,
+                                    jnp.asarray(np.asarray(x)[0]))
+                opt_state = tx.init(params)
             key, sub = jax.random.split(key)
             params, opt_state, loss, acc = train_step(params, opt_state, sub,
                                                       dblocks, x, labels)
-            sampled_total += seeds.num_input
+            sampled_total += hb.sampled_nodes
         jax.block_until_ready(loss)
         if args.profile_dir and epoch == 0:
             jax.profiler.stop_trace()
@@ -225,21 +271,27 @@ def main(argv=None):
             s = cache.stats()
             print(f"Cache hit ratio: {s['hit_ratio']:.3f} "
                   f"({s['hits']} hits / {s['misses']} misses)")
-        scheduler.reset(args.seed + epoch + 1)
+        loader.reset(args.seed + epoch + 1)
 
     if args.eval:
-        eval_step = make_eval_step(model, B)
+        # Fresh distributor + loader over the test split, matching the
+        # reference eval path (sbatch_ssd_gnn_train.py:156-195).
+        eval_distributor = SeedDistributor(
+            ds.test_idx, batch_size=B, local_size=n_dev, num_parts=n_hosts,
+            mode="baseline", shuffle_seed=args.seed)
+        eval_sched = DistributionScheduler(eval_distributor, part_id=host_id,
+                                           local_rank=0)
+        eval_loader = CoalaDataLoader(scheduler=eval_sched, sampler=sampler,
+                                      labels=ds.labels, local_size=n_dev,
+                                      prefetch=2)
         correct = total = 0
-        n_eval = len(ds.test_idx) // B
-        for i in range(n_eval):
-            seeds = ds.test_idx[i * B:(i + 1) * B]
-            batch = sampler.sample(seeds)
-            dblocks = to_device(batch.blocks)
-            x = fetch_batch(batch)
-            labels = jnp.asarray(ds.labels[batch.seeds].astype(np.int32))
-            c, t = eval_step(params, dblocks, x, labels)
+        for hb in eval_loader:
+            dblocks = to_device_stacked(hb)
+            x = fetch_batch(hb)
+            labels = jax.device_put(hb.labels, sh)
+            c = eval_step(params, dblocks, x, labels)
             correct += int(c)
-            total += int(t)
+            total += n_dev * B * n_hosts
         print(f"Test accuracy: {correct / max(total, 1):.4f} ({total} nodes)")
 
 
