@@ -27,6 +27,95 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps):
+    """Device-resident mode: topology in HBM, sampling+probe in jit; host
+    uploads only seeds (~4 KB/step)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from coala_gnn_tpu.cache import feature_cache as fc
+    from coala_gnn_tpu.cache.host_tier import HostFeatureStore
+    from coala_gnn_tpu.models import make_model
+    from coala_gnn_tpu.parallel.resident import ResidentTrainer
+
+    store = HostFeatureStore(ds.features)
+    cfg = fc.make_config(cache_mb=cache_mb, dim=dim, num_colors=0,
+                         dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    model = make_model("sage", hidden=hidden, num_classes=ds.num_classes,
+                       num_layers=len(fanouts))
+    rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                         labels=ds.labels, cache_cfg=cfg, model=model,
+                         tx=optax.adam(1e-3), fanouts=fanouts, batch_size=B)
+    t = time.perf_counter()
+    rt.prewarm(np.arange(min(ds.graph.num_nodes, cfg.capacity), dtype=np.int32))
+    log(f"bench[resident]: prewarmed in {time.perf_counter() - t:.1f}s")
+
+    rng = np.random.default_rng(0)
+    seeds_list = [rng.choice(ds.train_idx, B, replace=False).astype(np.int32)
+                  for _ in range(warmup + steps + 1)]
+    key = jax.random.key(0)
+    params = opt_state = None
+    pending = []
+    i_seed = 0
+
+    def pull():
+        nonlocal i_seed, key
+        if i_seed >= len(seeds_list):
+            return
+        key, sub = jax.random.split(key)
+        pending.append(rt.begin(seeds_list[i_seed], sub))
+        i_seed += 1
+
+    pull()
+    edge_counts = []
+    n_done = 0
+    t0 = None
+    loss = None
+    for i in range(warmup + steps):
+        handle = pending.pop(0)
+        pull()
+        resolved = rt.resolve(handle)
+        if params is None:
+            log("bench[resident]: compiling...")
+            params = model.init(jax.random.key(1), resolved[0], resolved[1])
+            opt_state = rt.tx.init(params)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, acc = rt.train_step(params, opt_state, sub,
+                                                     resolved)
+        if i == 0:
+            float(loss)
+            log("bench[resident]: compile done")
+        if i == warmup - 1:
+            float(loss)
+            rt.stats()
+            t0 = time.perf_counter()
+            edge_counts.clear()
+        if i >= warmup:
+            # device-side accumulation; read back once after timing
+            edge_counts.append(sum(b.mask.sum() for b in resolved[0]))
+            n_done += 1
+    float(loss)
+    dt = (time.perf_counter() - t0)
+    edges = sum(float(c) for c in edge_counts)
+    eps = edges / dt
+    s = rt.stats()
+    log(f"bench[resident]: {n_done} steps in {dt:.3f}s -> {eps:,.0f} edges/s "
+        f"({1000 * dt / n_done:.1f} ms/step, loss {float(loss):.4f}, "
+        f"hit {s['hit_ratio']:.3f})")
+    print(json.dumps({
+        "metric": "train_edges_per_s_per_chip",
+        "value": round(eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": None,
+        "cache_hit_ratio": round(s["hit_ratio"], 4),
+        "config": {"batch": B, "fanout": fanouts, "dim": dim,
+                   "hidden": hidden, "nodes": ds.graph.num_nodes,
+                   "cache_mb": cache_mb, "model": "sage", "mode": "resident",
+                   "feature_dtype": "bfloat16" if bf16 else "float32"},
+    }))
+
+
 def main():
     from coala_gnn_tpu.utils.jaxconfig import setup as jax_setup
     jax_setup()
@@ -51,12 +140,18 @@ def main():
     hidden = int(os.environ.get("BENCH_HIDDEN", 256))
     num_nodes = int(os.environ.get("BENCH_NODES", 200_000))
     cache_mb = int(os.environ.get("BENCH_CACHE_MB", 1024))
+    bf16 = bool(int(os.environ.get("BENCH_BF16", 0)))
     warmup, steps = int(os.environ.get("BENCH_WARMUP", 8)), \
         int(os.environ.get("BENCH_STEPS", 15))
+
+    resident = bool(int(os.environ.get("BENCH_RESIDENT", 0)))
 
     log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")
     ds = synthetic_graph(num_nodes=num_nodes, avg_degree=15, feature_dim=dim,
                          num_classes=16, seed=0)
+    if resident:
+        return run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16,
+                            warmup, steps)
     sampler = NeighborSampler(ds.graph, fanouts, B, seed=0)
     distributor = SeedDistributor(ds.train_idx, batch_size=B, local_size=1,
                                   num_parts=1, mode="baseline", shuffle_seed=0)
@@ -80,7 +175,8 @@ def main():
     cache = store = None
     if cache_mb > 0:
         mesh = make_mesh(jax.devices()[:1])
-        cfg = fc.make_config(cache_mb=cache_mb, dim=dim, num_colors=0)
+        cfg = fc.make_config(cache_mb=cache_mb, dim=dim, num_colors=0,
+                             dtype=jnp.bfloat16 if bf16 else jnp.float32)
         cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="isolated")
         store = HostFeatureStore(ds.features)
         log(f"bench: cache {cfg.num_sets} sets x {cfg.ways} ways "
@@ -178,7 +274,8 @@ def main():
         "cache_hit_ratio": hit_ratio,
         "config": {"batch": B, "fanout": fanouts, "dim": dim,
                    "hidden": hidden, "nodes": num_nodes,
-                   "cache_mb": cache_mb, "model": "sage"},
+                   "cache_mb": cache_mb, "model": "sage",
+                   "feature_dtype": "bfloat16" if bf16 else "float32"},
     }))
 
 

@@ -1,0 +1,184 @@
+"""Device-resident training pipeline (single device).
+
+The endgame TPU formulation of COALA's data path: graph topology lives in
+HBM, sampling + frontier dedup + cache probe + label gather run in ONE jit,
+and the train step in a second — per step the host uploads only the seed
+list (~4 KB) and reads back a 4-byte miss count. Replaces, on-device, the
+reference's entire host pipeline: UVA sampling (COALA_GNN_DataLoader.py:162),
+request build/send (cache_kernel.cu:4-17) and feature read
+(ssd_gnn_cache.cuh:132-174).
+
+Misses still resolve through the host tier (TPUs cannot reach storage), but
+at steady state the cache absorbs everything and the miss path never runs.
+Multi-device resident mode (shard_map around the same two stages) is the
+natural extension; this class is the single-chip engine used by bench.py's
+resident mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from coala_gnn_tpu.cache import feature_cache as fc
+from coala_gnn_tpu.sampling.device_sampler import (
+    DeviceGraph,
+    sample_blocks_device,
+    to_device_graph,
+)
+
+
+@dataclasses.dataclass
+class ResidentTrainer:
+    graph: object                 # host CSCGraph
+    host_fetch: Callable          # host tier fn(ids)->rows
+    labels: np.ndarray            # [num_nodes]
+    cache_cfg: fc.CacheConfig
+    model: object                 # flax module
+    tx: optax.GradientTransformation
+    fanouts: Sequence[int]
+    batch_size: int
+    colors: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        self.g = to_device_graph(self.graph)
+        self.labels_dev = jnp.asarray(self.labels.astype(np.int32))
+        self.colors_dev = (jnp.asarray(self.colors.astype(np.int32))
+                           if self.colors is not None else None)
+        self.cache = fc.init_colored_state(self.cache_cfg)
+        cfg, B, fanouts = self.cache_cfg, self.batch_size, list(self.fanouts)
+        g, labels_dev, colors_dev = self.g, self.labels_dev, self.colors_dev
+        model, tx = self.model, self.tx
+
+        @jax.jit
+        def stage_a(cache, seeds, key):
+            blocks, ids, num = sample_blocks_device(g, seeds, fanouts, B, key)
+            valid = jnp.arange(ids.shape[0]) < num
+            safe = jnp.where(valid, ids, 0)
+            base, feats, hit = fc.lookup(cfg, cache.base, safe, valid)
+            cache = fc.ColoredCacheState(base=base,
+                                         line_colors=cache.line_colors)
+            n_miss = (valid & ~hit).sum(dtype=jnp.int32)
+            y = labels_dev[seeds]
+            return cache, blocks, ids, num, feats, hit, n_miss, y
+
+        def loss_fn(params, key, blocks, x, y):
+            logits = model.apply(params, blocks, x, train=True,
+                                 rngs={"dropout": key})[:B]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean(), logits
+
+        @jax.jit
+        def stage_b(params, opt_state, key, blocks, feats, y):
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, key, blocks, feats, y)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            acc = (logits.argmax(-1) == y).mean()
+            return params, opt_state, loss, acc
+
+        @jax.jit
+        def eval_b(params, blocks, feats, y):
+            logits = model.apply(params, blocks, feats, train=False)[:B]
+            return (logits.argmax(-1) == y).sum()
+
+        def repair(cache, feats, ids, positions, rows, colors_m):
+            # merge host-fetched rows + admit them (miss path only)
+            pos = jnp.where(positions >= 0, positions, feats.shape[0])
+            feats = feats.at[pos].set(rows.astype(feats.dtype), mode="drop")
+            miss_ids = jnp.where(positions >= 0, ids[jnp.clip(positions, 0)], 0)
+            cache = fc.insert_with_colors(cfg, cache, miss_ids, rows,
+                                          positions >= 0, colors_m)
+            return cache, feats
+
+        self._stage_a = stage_a
+        self._stage_b = stage_b
+        self._eval_b = eval_b
+        self._repair = {}
+        self._repair_fn = repair
+        self.hits = self.misses = 0
+
+    # ------------------------------------------------------------------
+    def begin(self, seeds: np.ndarray, key) -> tuple:
+        seeds_dev = jnp.asarray(np.asarray(seeds, np.int32))
+        self.cache, blocks, ids, num, feats, hit, n_miss, y = \
+            self._stage_a(self.cache, seeds_dev, key)
+        try:
+            n_miss.copy_to_host_async()
+        except Exception:
+            pass
+        return (blocks, ids, num, feats, hit, n_miss, y)
+
+    def resolve(self, handle) -> tuple:
+        """Returns (blocks, feats, labels) with misses repaired."""
+        blocks, ids, num, feats, hit, n_miss, y = handle
+        m = int(n_miss)
+        if m == 0:
+            return blocks, feats, y
+        # miss path: identify rows, gather on host, merge + insert
+        hit_np = np.asarray(hit)
+        num_np = int(num)
+        ids_np = np.asarray(ids)
+        need = (~hit_np) & (np.arange(len(hit_np)) < num_np)
+        pos = np.flatnonzero(need)
+        m_cap = 1 << max(int(pos.size) - 1, 0).bit_length()
+        positions = np.full(m_cap, -1, np.int32)
+        positions[: pos.size] = pos
+        rows = np.zeros((m_cap, self.cache_cfg.dim), np.float32)
+        rows[: pos.size] = self.host_fetch(ids_np[pos].astype(np.int64))
+        colors_m = np.zeros(m_cap, np.int32)
+        if self.colors is not None:
+            colors_m[: pos.size] = self.colors[ids_np[pos]]
+        key = m_cap
+        if key not in self._repair:
+            self._repair[key] = jax.jit(self._repair_fn)
+        self.cache, feats = self._repair[key](
+            self.cache, feats, ids, jnp.asarray(positions),
+            jnp.asarray(rows), jnp.asarray(colors_m))
+        return blocks, feats, y
+
+    def train_step(self, params, opt_state, key, resolved):
+        blocks, feats, y = resolved
+        return self._stage_b(params, opt_state, key, blocks, feats, y)
+
+    def eval_step(self, params, resolved) -> int:
+        blocks, feats, y = resolved
+        return int(self._eval_b(params, blocks, feats, y))
+
+    def prewarm(self, ids: np.ndarray, chunk: int = 65536) -> None:
+        cfg = self.cache_cfg
+
+        @jax.jit
+        def insert(cache, ids_d, rows, colors_d):
+            return fc.insert_with_colors(cfg, cache, ids_d, rows,
+                                         ids_d >= 0, colors_d)
+
+        ids = np.unique(np.asarray(ids, np.int32))
+        for lo in range(0, len(ids), chunk):
+            part = ids[lo:lo + chunk]
+            grid = np.full(chunk, -1, np.int32)
+            grid[: part.size] = part
+            rows = np.zeros((chunk, cfg.dim), np.float32)
+            rows[: part.size] = self.host_fetch(part.astype(np.int64))
+            colors_d = np.zeros(chunk, np.int32)
+            if self.colors is not None:
+                colors_d[: part.size] = self.colors[part]
+            self.cache = insert(self.cache, jnp.asarray(grid),
+                                jnp.asarray(rows), jnp.asarray(colors_d))
+        # reset stats counters accumulated during prewarm
+        self.cache = fc.ColoredCacheState(
+            base=self.cache.base._replace(
+                hits=jnp.zeros((), jnp.int32),
+                misses=jnp.zeros((), jnp.int32)),
+            line_colors=self.cache.line_colors)
+
+    def stats(self) -> dict:
+        base, s = fc.stats(self.cache.base)
+        self.cache = fc.ColoredCacheState(base=base,
+                                          line_colors=self.cache.line_colors)
+        return s

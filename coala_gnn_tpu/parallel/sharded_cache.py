@@ -40,6 +40,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes  # numpy bfloat16 buffers for half-width host->device rows
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
@@ -244,6 +245,8 @@ class ShardedFeatureCache:
             self.n_route = n_dev
         self.state = init_sharded_state(self.cfg, self.mesh)
         self._jit_cache = {}
+        self._np_dtype = (ml_dtypes.bfloat16
+                          if self.cfg.dtype == jnp.bfloat16 else np.float32)
 
     # ---- jitted kernels (built per request-shape) -------------------------
 
@@ -364,7 +367,8 @@ class ShardedFeatureCache:
         m_cap = _ceil_pow2(int(need.sum(axis=1).max()))
         k_fill, k_merge = self._miss_kernels(n_req, m_cap)
         positions = np.full((n_dev_mesh, m_cap), -1, dtype=np.int32)
-        rows = np.zeros((n_dev_mesh, m_cap, self.cfg.dim), dtype=np.float32)
+        rows = np.zeros((n_dev_mesh, m_cap, self.cfg.dim),
+                        dtype=self._np_dtype)
         miss_colors = np.zeros((n_dev_mesh, m_cap), dtype=np.int32)
 
         for d in range(n_dev_mesh):
@@ -445,7 +449,8 @@ class ShardedFeatureCache:
         n_chunks = max((len(p) + chunk - 1) // chunk for p in per_dev)
         for c in range(n_chunks):
             grid = np.full((n_dev, chunk), -1, dtype=np.int32)
-            rows = np.zeros((n_dev, chunk, self.cfg.dim), dtype=np.float32)
+            rows = np.zeros((n_dev, chunk, self.cfg.dim),
+                            dtype=self._np_dtype)
             cols = np.zeros((n_dev, chunk), dtype=np.int32)
             for d in range(n_dev):
                 part = per_dev[d][c * chunk:(c + 1) * chunk]

@@ -1,0 +1,142 @@
+"""On-device fanout neighbor sampling (graph topology resident in HBM).
+
+The host sampler (sampling/neighbor.py) mirrors the reference's host-driven
+pipeline; this module goes where CUDA/DGL could not: with CSC ``indptr`` /
+``indices`` resident in device HBM (papers100M's topology is ~7 GB int32 —
+it fits), sampling, frontier dedup and block construction all run inside
+jit. The only host->device transfer per training step is the seed list
+(~4 KB), replacing the reference's entire UVA-sampling + request machinery
+(COALA_GNN_DataLoader.py:162, cache_kernel.cu:4-17).
+
+All shapes are static (the same batch x prod(fanout+1) capacities as the
+host sampler); padded destination rows use the sentinel id ``num_nodes``
+whose degree is defined as 0, so they sample nothing and dedup into a
+single run that is forced to sort after every real node.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coala_gnn_tpu.models.layers import DeviceBlock
+from coala_gnn_tpu.sampling.neighbor import block_capacities
+
+
+class DeviceGraph(NamedTuple):
+    """CSC topology in device memory. indptr is padded with one extra
+    trailing entry so the sentinel id (num_nodes) reads degree 0."""
+    indptr: jax.Array    # int32 [num_nodes + 2]
+    indices: jax.Array   # int32 [num_edges]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.indptr.shape[0] - 2
+
+
+def to_device_graph(graph) -> DeviceGraph:
+    """Host CSCGraph -> device-resident DeviceGraph (int32)."""
+    indptr = np.asarray(graph.indptr, dtype=np.int64)
+    pad = np.concatenate([indptr, indptr[-1:]]).astype(np.int64)
+    if pad[-1] > np.iinfo(np.int32).max:
+        raise ValueError("graph too large for int32 edge offsets")
+    return DeviceGraph(indptr=jnp.asarray(pad, jnp.int32),
+                       indices=jnp.asarray(np.asarray(graph.indices), jnp.int32))
+
+
+def _sample_layer(g: DeviceGraph, dst: jax.Array, fanout: int,
+                  key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """One layer: (nbr int32 [n, fanout], mask f32 [n, fanout]).
+    Same slot semantics as the host sampler: deg<=f takes all in order,
+    deg>f draws uniformly with replacement; masked slots point at dst."""
+    n = dst.shape[0]
+    starts = g.indptr[dst]
+    deg = g.indptr[dst + 1] - starts
+    k = jnp.arange(fanout, dtype=jnp.int32)[None, :]
+    mask = k < jnp.minimum(deg, fanout)[:, None]
+
+    rand = jax.random.uniform(key, (n, fanout))
+    rand_off = (rand * jnp.maximum(deg, 1)[:, None]).astype(jnp.int32)
+    seq_off = jnp.minimum(k, jnp.maximum(deg[:, None] - 1, 0))
+    offsets = jnp.where(deg[:, None] <= fanout, seq_off, rand_off)
+    nbr = g.indices[starts[:, None] + offsets]
+    nbr = jnp.where(mask, nbr, dst[:, None])
+    return nbr, mask.astype(jnp.float32)
+
+
+def _dedup_first_occurrence(cat: jax.Array, sentinel: int
+                            ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Static-shape first-occurrence dedup.
+
+    cat [L] int32 (may contain `sentinel`). Returns
+      uniq  [L] int32 — unique values in order of first occurrence, sentinel
+                        (if present) forced last, tail zero-filled
+      local [L] int32 — uniq-index of each cat element
+      num   scalar    — count of unique non-sentinel values
+    """
+    L = cat.shape[0]
+    pos = jnp.arange(L, dtype=jnp.int32)
+    order = jnp.argsort(cat, stable=True)
+    s = cat[order]
+    p = pos[order]
+    new_run = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    run_id = jnp.cumsum(new_run) - 1                     # [L]
+    n_runs = run_id[-1] + 1
+
+    first_pos = jax.ops.segment_min(p, run_id, num_segments=L)   # per run
+    run_val = jax.ops.segment_min(s, run_id, num_segments=L)
+    # rank runs by first occurrence; sentinel run (and empty run slots,
+    # which segment_min filled with INT_MAX) forced last.
+    big = jnp.int32(2 * L + 2)
+    rank_key = jnp.where(run_val == sentinel, big,
+                         jnp.minimum(first_pos, big))
+    run_order = jnp.argsort(rank_key, stable=True)       # run ids by rank
+    run_rank = jnp.zeros(L, jnp.int32).at[run_order].set(
+        jnp.arange(L, dtype=jnp.int32))
+
+    local_sorted = run_rank[run_id]
+    local = jnp.zeros(L, jnp.int32).at[order].set(local_sorted)
+    uniq = jnp.zeros(L, jnp.int32).at[local_sorted].set(s)
+    has_sent = (cat == sentinel).any()
+    num = n_runs - has_sent.astype(n_runs.dtype)
+    return uniq, local, num
+
+
+def sample_blocks_device(g: DeviceGraph, seeds: jax.Array,
+                         fanouts: Sequence[int], batch_size: int,
+                         key: jax.Array
+                         ) -> Tuple[List[DeviceBlock], jax.Array, jax.Array]:
+    """Full multi-layer sampling in jit.
+
+    seeds int32 [batch]. Returns (blocks input-most first, input_ids
+    [cap_src0] int32 with valid prefix, num_input scalar int32). Matches the
+    host sampler's block contract (dst prefix, local adj, masks)."""
+    caps = block_capacities(batch_size, fanouts)
+    sentinel = g.num_nodes
+    blocks: List[DeviceBlock] = []
+    dst = seeds.astype(jnp.int32)
+    num_dst = jnp.int32(batch_size)
+    ids = num = None
+    for layer in range(len(fanouts) - 1, -1, -1):
+        fanout = fanouts[layer]
+        cap_dst, cap_src = caps[layer]
+        # pad dst to this layer's capacity with the sentinel
+        pad = cap_dst - dst.shape[0]
+        if pad:
+            dst = jnp.concatenate(
+                [dst, jnp.full(pad, sentinel, jnp.int32)])
+        dst = jnp.where(jnp.arange(cap_dst) < num_dst, dst, sentinel)
+
+        key, sub = jax.random.split(key)
+        nbr, mask = _sample_layer(g, dst, fanout, sub)
+        cat = jnp.concatenate([dst, nbr.reshape(-1)])
+        uniq, local, num = _dedup_first_occurrence(cat, sentinel)
+        adj = local[cap_dst:].reshape(cap_dst, fanout)
+        blocks.insert(0, DeviceBlock(adj=adj, mask=mask))
+        ids = uniq              # [cap_src] == next layer's dst source
+        dst, num_dst = uniq, num
+    return blocks, ids, num

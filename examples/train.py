@@ -196,7 +196,8 @@ def main(argv=None):
                 "sharded": "sharded", "isolated": "isolated"}[args.cache_backend]
         cfg = fc.make_config(cache_mb=args.cache_size, dim=ds.feature_dim,
                              num_colors=0 if meta is None else meta.num_colors,
-                             num_shards=mesh.devices.size if mode == "sharded" else 1)
+                             num_shards=mesh.devices.size if mode == "sharded" else 1,
+                             dtype=dtype)
         cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode=mode)
         scheduler.meta_fn = cache.local_color_meta
         print(f"cache[{mode}]: {cfg.num_sets} sets x {cfg.ways} ways "
