@@ -44,6 +44,8 @@ class ResidentTrainer:
     fanouts: Sequence[int]
     batch_size: int
     colors: Optional[np.ndarray] = None
+    dedup: bool = False   # sort-based frontier dedup costs more than the
+                          # gather redundancy it saves (see device_sampler)
 
     def __post_init__(self):
         self.g = to_device_graph(self.graph)
@@ -55,17 +57,24 @@ class ResidentTrainer:
         g, labels_dev, colors_dev = self.g, self.labels_dev, self.colors_dev
         model, tx = self.model, self.tx
 
+        sentinel = self.g.num_nodes
+
         @jax.jit
         def stage_a(cache, seeds, key):
-            blocks, ids, num = sample_blocks_device(g, seeds, fanouts, B, key)
-            valid = jnp.arange(ids.shape[0]) < num
+            blocks, ids, num = sample_blocks_device(g, seeds, fanouts, B, key,
+                                                    dedup=self.dedup)
+            if self.dedup:
+                valid = jnp.arange(ids.shape[0]) < num
+            else:
+                valid = ids != sentinel
             safe = jnp.where(valid, ids, 0)
             base, feats, hit = fc.lookup(cfg, cache.base, safe, valid)
             cache = fc.ColoredCacheState(base=base,
                                          line_colors=cache.line_colors)
             n_miss = (valid & ~hit).sum(dtype=jnp.int32)
+            n_edges = sum(b.mask.sum() for b in blocks)
             y = labels_dev[seeds]
-            return cache, blocks, ids, num, feats, hit, n_miss, y
+            return cache, blocks, ids, valid, feats, hit, n_miss, n_edges, y
 
         def loss_fn(params, key, blocks, x, y):
             logits = model.apply(params, blocks, x, train=True,
@@ -106,25 +115,24 @@ class ResidentTrainer:
     # ------------------------------------------------------------------
     def begin(self, seeds: np.ndarray, key) -> tuple:
         seeds_dev = jnp.asarray(np.asarray(seeds, np.int32))
-        self.cache, blocks, ids, num, feats, hit, n_miss, y = \
+        self.cache, blocks, ids, valid, feats, hit, n_miss, n_edges, y = \
             self._stage_a(self.cache, seeds_dev, key)
         try:
             n_miss.copy_to_host_async()
         except Exception:
             pass
-        return (blocks, ids, num, feats, hit, n_miss, y)
+        return (blocks, ids, valid, feats, hit, n_miss, n_edges, y)
 
     def resolve(self, handle) -> tuple:
         """Returns (blocks, feats, labels) with misses repaired."""
-        blocks, ids, num, feats, hit, n_miss, y = handle
+        blocks, ids, valid, feats, hit, n_miss, n_edges, y = handle
         m = int(n_miss)
         if m == 0:
             return blocks, feats, y
         # miss path: identify rows, gather on host, merge + insert
         hit_np = np.asarray(hit)
-        num_np = int(num)
         ids_np = np.asarray(ids)
-        need = (~hit_np) & (np.arange(len(hit_np)) < num_np)
+        need = (~hit_np) & np.asarray(valid)
         pos = np.flatnonzero(need)
         m_cap = 1 << max(int(pos.size) - 1, 0).bit_length()
         positions = np.full(m_cap, -1, np.int32)

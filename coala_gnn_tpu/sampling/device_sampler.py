@@ -108,18 +108,28 @@ def _dedup_first_occurrence(cat: jax.Array, sentinel: int
 
 def sample_blocks_device(g: DeviceGraph, seeds: jax.Array,
                          fanouts: Sequence[int], batch_size: int,
-                         key: jax.Array
+                         key: jax.Array, dedup: bool = True
                          ) -> Tuple[List[DeviceBlock], jax.Array, jax.Array]:
     """Full multi-layer sampling in jit.
 
     seeds int32 [batch]. Returns (blocks input-most first, input_ids
-    [cap_src0] int32 with valid prefix, num_input scalar int32). Matches the
-    host sampler's block contract (dst prefix, local adj, masks)."""
+    [cap_src0] int32, num_input scalar int32). Matches the host sampler's
+    block contract (dst prefix, local adj, masks).
+
+    dedup=False skips the sort-based frontier dedup: the source array keeps
+    duplicates ([dst | sampled slots] with *static* adj indices) and
+    sentinel padding is scattered rather than a prefix. Measured on v5e the
+    three big sorts per step cost far more than the ~1.7x extra gather
+    redundancy they save — dedup was a host-link optimization; on device,
+    redundant HBM gathers are cheap. Callers must treat `input_ids` entries
+    equal to `g.num_nodes` (the sentinel) as invalid rather than relying on
+    a valid prefix; `num_input` returns the count of non-sentinel entries."""
     caps = block_capacities(batch_size, fanouts)
     sentinel = g.num_nodes
     blocks: List[DeviceBlock] = []
     dst = seeds.astype(jnp.int32)
     num_dst = jnp.int32(batch_size)
+    valid_dst = None  # dedup=False: bool mask over dst rows
     ids = num = None
     for layer in range(len(fanouts) - 1, -1, -1):
         fanout = fanouts[layer]
@@ -129,14 +139,29 @@ def sample_blocks_device(g: DeviceGraph, seeds: jax.Array,
         if pad:
             dst = jnp.concatenate(
                 [dst, jnp.full(pad, sentinel, jnp.int32)])
-        dst = jnp.where(jnp.arange(cap_dst) < num_dst, dst, sentinel)
+        if dedup:
+            dst = jnp.where(jnp.arange(cap_dst) < num_dst, dst, sentinel)
+        elif valid_dst is not None:
+            pad_v = jnp.zeros(pad, bool) if pad else None
+            if pad:
+                valid_dst = jnp.concatenate([valid_dst, pad_v])
+            dst = jnp.where(valid_dst, dst, sentinel)
 
         key, sub = jax.random.split(key)
         nbr, mask = _sample_layer(g, dst, fanout, sub)
         cat = jnp.concatenate([dst, nbr.reshape(-1)])
-        uniq, local, num = _dedup_first_occurrence(cat, sentinel)
-        adj = local[cap_dst:].reshape(cap_dst, fanout)
+        if dedup:
+            uniq, local, num = _dedup_first_occurrence(cat, sentinel)
+            adj = local[cap_dst:].reshape(cap_dst, fanout)
+            ids, dst, num_dst = uniq, uniq, num
+        else:
+            # static local indexing: slot (i, k) lives at cap_dst + i*F + k
+            adj = (cap_dst
+                   + jnp.arange(cap_dst * fanout, dtype=jnp.int32)
+                   .reshape(cap_dst, fanout))
+            ids = cat
+            valid_dst = cat != sentinel
+            num = valid_dst.sum(dtype=jnp.int32)
+            dst = cat
         blocks.insert(0, DeviceBlock(adj=adj, mask=mask))
-        ids = uniq              # [cap_src] == next layer's dst source
-        dst, num_dst = uniq, num
     return blocks, ids, num

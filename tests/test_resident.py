@@ -37,9 +37,9 @@ def test_resident_features_are_exact(setup):
         h = rt.begin(seeds, jax.random.key(trial))
         blocks, feats, y = rt.resolve(h)
         ids = np.asarray(h[1])
-        num = int(h[2])
-        np.testing.assert_allclose(np.asarray(feats)[:num],
-                                   ds.features[ids[:num]], rtol=1e-6,
+        valid = np.asarray(h[2])
+        np.testing.assert_allclose(np.asarray(feats)[valid],
+                                   ds.features[ids[valid]], rtol=1e-6,
                                    err_msg=f"trial {trial}")
         np.testing.assert_array_equal(np.asarray(y), ds.labels[seeds])
 
