@@ -113,36 +113,21 @@ def _owner_rank(ids: jax.Array, valid: jax.Array, n_dev: int
     return owner, rank
 
 
-def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
-                           packed_n_req: int,
-                           state: ShardedCacheState, ids: jax.Array,
-                           num_valid: jax.Array):
-    """Per-device body (runs under shard_map over the data axis).
+def exchange_lookup(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
+                    local: fc.ColoredCacheState, ids: jax.Array,
+                    valid: jax.Array):
+    """Core per-device probe (call from inside a shard_map body over the
+    data axis): route ids to owners, probe, route features back.
 
-    With packed_n_req > 0, ``ids`` is a full request buffer
-    [1 + n_req + ...] whose prefix holds [num_input | input_ids] (see
-    data/packing.pack_request) and ``num_valid`` is ignored."""
-    if packed_n_req > 0:
-        buf = ids[0]
-        num_valid = buf[0]
-        ids = jax.lax.dynamic_slice_in_dim(buf, 1, packed_n_req)
-    else:
-        ids = ids[0]                # [n_req] this device's request list
-        num_valid = num_valid[0]
+    Returns (local_state', feats [n_req, dim], hit [n_req], overflow
+    [n_req]). n_dev == 1 degenerates to a local probe."""
     n_req = ids.shape[0]
-    valid = jnp.arange(n_req) < num_valid
-
-    local = _to_local(state)
-    c = bucket_cap
-
+    ids = jnp.where(valid, ids, 0)
     if n_dev == 1:
         base, feats, hit = fc.lookup(cfg, local.base, ids, valid)
         local = fc.ColoredCacheState(base=base, line_colors=local.line_colors)
-        overflow = jnp.zeros((n_req,), jnp.bool_)
-        n_miss = (valid & ~hit).sum(dtype=jnp.int32)
-        return (_from_local(local), feats[None], hit[None], overflow[None],
-                n_miss[None])
-
+        return local, feats, hit, jnp.zeros((n_req,), jnp.bool_)
+    c = bucket_cap
     owner, rank = _owner_rank(ids, valid, n_dev)
     routed = rank < c               # made it into a bucket
 
@@ -172,6 +157,30 @@ def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
     out = jnp.where((routed & valid)[:, None], resp[g_owner, g_rank], 0)
     out_hit = hit_back[g_owner, g_rank] & routed & valid
     overflow = ~routed & valid
+    return local, out, out_hit, overflow
+
+
+def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
+                           packed_n_req: int,
+                           state: ShardedCacheState, ids: jax.Array,
+                           num_valid: jax.Array):
+    """shard_map body wrapping exchange_lookup for the standalone fetch path.
+
+    With packed_n_req > 0, ``ids`` is a full request buffer
+    [1 + n_req + ...] whose prefix holds [num_input | input_ids] (see
+    data/packing.pack_request) and ``num_valid`` is ignored."""
+    if packed_n_req > 0:
+        buf = ids[0]
+        num_valid = buf[0]
+        ids = jax.lax.dynamic_slice_in_dim(buf, 1, packed_n_req)
+    else:
+        ids = ids[0]                # [n_req] this device's request list
+        num_valid = num_valid[0]
+    n_req = ids.shape[0]
+    valid = jnp.arange(n_req) < num_valid
+    local = _to_local(state)
+    local, out, out_hit, overflow = exchange_lookup(
+        cfg, bucket_cap, n_dev, local, ids, valid)
     n_miss = (valid & (~out_hit | overflow)).sum(dtype=jnp.int32)
     return (_from_local(local), out[None], out_hit[None], overflow[None],
             n_miss[None])
