@@ -50,6 +50,11 @@ def parse_args(argv=None):
                    help="nvshmem/nccl (reference names) alias sharded")
     p.add_argument("--devices", type=int, default=0,
                    help="limit local devices (0 = all)")
+    p.add_argument("--pipeline", type=str, default="host",
+                   choices=["host", "resident"],
+                   help="host: host sampling + cache fetch; resident: "
+                        "on-device sampling + exchange probe (seeds-only "
+                        "upload; needs --cache_size)")
     p.add_argument("--distribution", type=str, default="baseline",
                    choices=["baseline", "node_color"])
     p.add_argument("--refresh_counter", type=int, default=8)
@@ -75,6 +80,92 @@ def parse_args(argv=None):
                         "(replaces the reference's wall-clock-only timers, "
                         "SURVEY.md §5)")
     return p.parse_args(argv)
+
+
+def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
+                  fanouts, B, n_dev, jax):
+    """Device-resident training loop: per step the host uploads only the
+    [n_dev, B] seed grid chosen by the (affinity) distributor; sampling,
+    exchange probe and the DP step run on the mesh."""
+    import numpy as np
+    import time
+
+    from coala_gnn_tpu.parallel.sharded_resident import ShardedResidentTrainer
+
+    rt = ShardedResidentTrainer(
+        graph=ds.graph, host_fetch=store.fetch, labels=ds.labels,
+        cache=cache, model=model, tx=tx, fanouts=fanouts, batch_size=B,
+        colors=None if meta is None else meta.color)
+    print("pipeline: device-resident (seeds-only upload)")
+
+    key = jax.random.key(args.seed)
+    params = opt_state = None
+    steps_per_epoch = scheduler.d.num_iters
+    if args.max_steps:
+        steps_per_epoch = min(steps_per_epoch, args.max_steps)
+
+    def seed_grid():
+        domain = scheduler.run_domain()
+        return domain.reshape(n_dev, B).astype(np.int32)
+
+    for epoch in range(args.epochs):
+        t0 = time.perf_counter()
+        loss = acc = None
+        pending = None
+        edge_counts = []
+        for it in range(steps_per_epoch):
+            key, k1, k2 = jax.random.split(key, 3)
+            nxt = rt.begin(seed_grid(), k1) if it == 0 else pending
+            # pipeline one ahead
+            if it + 1 < steps_per_epoch:
+                key, kp = jax.random.split(key)
+                pending = rt.begin(seed_grid(), kp)
+            resolved = rt.resolve(nxt)
+            if params is None:
+                import jax.numpy as jnp
+                blocks0 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]),
+                                       resolved[0])
+                params = model.init(jax.random.key(args.seed), blocks0,
+                                    jnp.asarray(np.asarray(resolved[1])[0]))
+                opt_state = tx.init(params)
+            params, opt_state, loss, acc = rt.train_step(params, opt_state,
+                                                         k2, resolved)
+            edge_counts.append(nxt[6])
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+        sampled = int(sum(float(np.asarray(c).sum()) for c in edge_counts))
+        print(f"Epoch {epoch} | loss {float(loss):.4f} | batch acc "
+              f"{float(acc):.4f} | Epoch Time: {dt:.3f}s | feature agg time "
+              f"0.000s | sampled nodes {sampled}")
+        s = cache.stats()
+        print(f"Cache hit ratio: {s['hit_ratio']:.3f} "
+              f"({s['hits']} hits / {s['misses']} misses)")
+        scheduler.reset(args.seed + epoch + 1)
+
+    if args.eval:
+        from coala_gnn_tpu.distribution import (
+            DistributionScheduler, SeedDistributor)
+        ed = SeedDistributor(ds.test_idx, batch_size=B, local_size=n_dev,
+                             num_parts=1, mode="baseline",
+                             shuffle_seed=args.seed)
+        es = DistributionScheduler(ed, part_id=0, local_rank=0)
+        correct = total = 0
+        for _ in range(ed.num_iters):
+            grid = es.run_domain().reshape(n_dev, B).astype(np.int32)
+            key, k1 = jax.random.split(key)
+            resolved = rt.resolve(rt.begin(grid, k1))
+            blocks, feats, y = resolved
+            import jax.numpy as jnp
+            feats_np = np.asarray(feats)
+            y_np = np.asarray(y)
+            for d in range(n_dev):
+                bd = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[d]),
+                                  blocks)
+                lg = np.asarray(model.apply(params, bd,
+                                            jnp.asarray(feats_np[d])))[:B]
+                correct += int((lg.argmax(-1) == y_np[d]).sum())
+                total += B
+        print(f"Test accuracy: {correct / max(total, 1):.4f} ({total} nodes)")
 
 
 def main(argv=None):
@@ -202,6 +293,15 @@ def main(argv=None):
         scheduler.meta_fn = cache.local_color_meta
         print(f"cache[{mode}]: {cfg.num_sets} sets x {cfg.ways} ways "
               f"({cfg.size_mb:.0f} MB per device)")
+
+    if args.pipeline == "resident":
+        if hetero:
+            raise SystemExit("--pipeline resident supports homogeneous "
+                             "models (sage/gcn/gat) in this version")
+        if cache is None:
+            raise SystemExit("--pipeline resident requires --cache_size > 0")
+        return _run_resident(args, ds, meta, cache, store, model, tx,
+                             scheduler, fanouts, B, n_dev, jax)
 
     loader = CoalaDataLoader(scheduler=scheduler, sampler=sampler,
                              labels=ds.labels, local_size=n_dev, prefetch=2)
