@@ -50,6 +50,11 @@ def parse_args(argv=None):
                    help="nvshmem/nccl (reference names) alias sharded")
     p.add_argument("--devices", type=int, default=0,
                    help="limit local devices (0 = all)")
+    p.add_argument("--feat_cpu", action="store_true",
+                   help="accepted for reference-CLI parity; the host-RAM "
+                        "feature tier is always this build's backing store "
+                        "(reference --feat_cpu simulation mode, "
+                        "ssd_gnn_dataloader.py:413-439)")
     p.add_argument("--pipeline", type=str, default="host",
                    choices=["host", "resident"],
                    help="host: host sampling + cache fetch; resident: "
