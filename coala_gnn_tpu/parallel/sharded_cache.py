@@ -480,6 +480,23 @@ class ShardedFeatureCache:
         this mesh's devices."""
         return np.asarray(self.state.color_counts.sum(axis=0)).astype(np.int32)
 
+    def prewarm_by_degree(self, graph, host_fetch,
+                          colors: Optional[np.ndarray] = None,
+                          chunk: int = 16384) -> int:
+        """Prewarm with the highest-in-degree nodes first, up to capacity.
+
+        When the cache cannot hold the whole graph, static degree-ordered
+        admission is the strongest cold-start policy for power-law graphs
+        (hub features are touched by most sampled neighborhoods — the
+        PaGraph-style observation; PAPERS.md cache literature). Returns the
+        number of nodes admitted."""
+        deg = np.diff(np.asarray(graph.indptr))
+        budget = self.cfg.capacity * max(self.n_route, 1)
+        n_warm = min(graph.num_nodes, budget)
+        top = np.argpartition(deg, -n_warm)[-n_warm:].astype(np.int32)
+        self.prewarm(top, host_fetch, colors=colors, chunk=chunk)
+        return int(n_warm)
+
     def local_color_meta(self) -> np.ndarray:
         """This host's color-occupancy counters (sum over the devices whose
         cache shards live on this process) — the per-node half of the

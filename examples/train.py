@@ -80,6 +80,11 @@ def parse_args(argv=None):
     p.add_argument("--feature_dim", type=int, default=128)
     p.add_argument("--platform", type=str, default="",
                    help="force jax platform (cpu for smoke tests)")
+    p.add_argument("--save_dir", type=str, default="",
+                   help="orbax checkpoint dir; saves params+opt each epoch "
+                        "(the reference has no checkpointing, SURVEY.md §5)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore latest checkpoint from --save_dir")
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler trace of epoch 0 here "
                         "(replaces the reference's wall-clock-only timers, "
@@ -359,6 +364,13 @@ def main(argv=None):
                 params = model.init(jax.random.key(args.seed), single,
                                     jnp.asarray(np.asarray(x)[0]))
                 opt_state = tx.init(params)
+                if args.resume and args.save_dir:
+                    from coala_gnn_tpu.utils import checkpoint as ckpt
+                    like = {"params": params, "opt_state": opt_state, "step": 0}
+                    restored = ckpt.restore(args.save_dir, like)
+                    if restored is not None:
+                        params, opt_state, step0 = restored
+                        print(f"resumed from step {step0}")
             key, sub = jax.random.split(key)
             params, opt_state, loss, acc = train_step(params, opt_state, sub,
                                                       dblocks, x, labels)
@@ -378,6 +390,11 @@ def main(argv=None):
             print(f"Cache hit ratio: {s['hit_ratio']:.3f} "
                   f"({s['hits']} hits / {s['misses']} misses)")
         loader.reset(args.seed + epoch + 1)
+        if args.save_dir:
+            from coala_gnn_tpu.utils import checkpoint as ckpt
+            ckpt.save(args.save_dir, params, opt_state,
+                      step=(epoch + 1) * steps_per_epoch)
+            print(f"checkpoint saved to {args.save_dir}")
 
     if args.eval:
         # Fresh distributor + loader over the test split, matching the
