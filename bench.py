@@ -107,7 +107,12 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps):
         "metric": "train_edges_per_s_per_chip",
         "value": round(eps, 1),
         "unit": "edges/s",
+        # the reference publishes no numbers (BASELINE.md); the closest
+        # self-baseline is this framework's own uncached host-fetch pipeline
+        # at the same config (BENCH_RESIDENT=0 BENCH_CACHE_MB=0): 149,652
+        # edges/s measured on this chip.
         "vs_baseline": None,
+        "vs_uncached_self_baseline": round(eps / 149652.2, 2),
         "cache_hit_ratio": round(s["hit_ratio"], 4),
         "config": {"batch": B, "fanout": fanouts, "dim": dim,
                    "hidden": hidden, "nodes": ds.graph.num_nodes,
