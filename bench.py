@@ -51,53 +51,43 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps):
     rt.prewarm(np.arange(min(ds.graph.num_nodes, cfg.capacity), dtype=np.int32))
     log(f"bench[resident]: prewarmed in {time.perf_counter() - t:.1f}s")
 
+    K = int(os.environ.get("BENCH_WINDOW", 8))  # fused steps per dispatch
     rng = np.random.default_rng(0)
-    seeds_list = [rng.choice(ds.train_idx, B, replace=False).astype(np.int32)
-                  for _ in range(warmup + steps + 1)]
     key = jax.random.key(0)
-    params = opt_state = None
-    pending = []
-    i_seed = 0
 
-    def pull():
-        nonlocal i_seed, key
-        if i_seed >= len(seeds_list):
-            return
-        key, sub = jax.random.split(key)
-        pending.append(rt.begin(seeds_list[i_seed], sub))
-        i_seed += 1
+    def grid():
+        return np.stack([rng.choice(ds.train_idx, B, replace=False)
+                         for _ in range(K)]).astype(np.int32)
 
-    pull()
-    edge_counts = []
-    n_done = 0
+    # init params via one resolved batch
+    resolved = rt.resolve(rt.begin(grid()[0], jax.random.key(9)))
+    log("bench[resident]: compiling...")
+    params = model.init(jax.random.key(1), resolved[0], resolved[1])
+    opt_state = rt.tx.init(params)
+
+    n_windows = max((warmup + steps) // K, 2)
+    warm_w = max(warmup // K, 1)
+    edge_arrays = []
+    loss_arr = None
     t0 = None
-    loss = None
-    for i in range(warmup + steps):
-        handle = pending.pop(0)
-        pull()
-        resolved = rt.resolve(handle)
-        if params is None:
-            log("bench[resident]: compiling...")
-            params = model.init(jax.random.key(1), resolved[0], resolved[1])
-            opt_state = rt.tx.init(params)
+    for w in range(n_windows):
         key, sub = jax.random.split(key)
-        params, opt_state, loss, acc = rt.train_step(params, opt_state, sub,
-                                                     resolved)
-        if i == 0:
-            float(loss)
-            log("bench[resident]: compile done")
-        if i == warmup - 1:
-            float(loss)
+        params, opt_state, loss_arr, edges_arr = rt.train_window(
+            params, opt_state, grid(), sub)
+        if w == 0:
+            float(np.asarray(loss_arr)[-1])
+            log(f"bench[resident]: compile done (fused window K={K})")
+        if w == warm_w - 1:
+            float(np.asarray(loss_arr)[-1])
             rt.stats()
             t0 = time.perf_counter()
-            edge_counts.clear()
-        if i >= warmup:
-            # edge count computed inside stage A; read back once after timing
-            edge_counts.append(handle[6])
-            n_done += 1
-    float(loss)
+            edge_arrays.clear()
+        if w >= warm_w:
+            edge_arrays.append(edges_arr)
+    loss = float(np.asarray(loss_arr)[-1])
     dt = (time.perf_counter() - t0)
-    edges = sum(float(c) for c in edge_counts)
+    n_done = K * (n_windows - warm_w)
+    edges = sum(float(np.asarray(e).sum()) for e in edge_arrays)
     eps = edges / dt
     s = rt.stats()
     log(f"bench[resident]: {n_done} steps in {dt:.3f}s -> {eps:,.0f} edges/s "
@@ -147,7 +137,7 @@ def main():
     cache_mb = int(os.environ.get("BENCH_CACHE_MB", 1024))
     bf16 = bool(int(os.environ.get("BENCH_BF16", 0)))
     warmup, steps = int(os.environ.get("BENCH_WARMUP", 8)), \
-        int(os.environ.get("BENCH_STEPS", 15))
+        int(os.environ.get("BENCH_STEPS", 24))
 
     resident = bool(int(os.environ.get("BENCH_RESIDENT", 1)))
 

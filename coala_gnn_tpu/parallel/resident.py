@@ -105,6 +105,43 @@ class ResidentTrainer:
                                           positions >= 0, colors_m)
             return cache, feats
 
+        # ---- fused multi-step window: K steps per dispatch ---------------
+        # Seeds [K, B] upload once; lax.scan runs sample+probe+train K times
+        # on device. Misses read zero features inside the window, so the
+        # caller must check the returned per-step miss counts and, if any
+        # are nonzero, roll back to the pre-window params and replay those
+        # steps through the exact begin/resolve path (train_window does
+        # this). At steady state (warm cache) the window never replays and
+        # per-step dispatch overhead is divided by K.
+        def window(cache, params, opt_state, seeds_grid, key):
+            def body(carry, inp):
+                cache, params, opt_state = carry
+                seeds, k = inp
+                k1, k2 = jax.random.split(jax.random.wrap_key_data(k))
+                blocks, ids, num = sample_blocks_device(g, seeds, fanouts, B,
+                                                        k1, dedup=False)
+                valid = ids != sentinel
+                base, feats, hit = fc.lookup(cfg, cache.base,
+                                             jnp.where(valid, ids, 0), valid)
+                cache = fc.ColoredCacheState(base=base,
+                                             line_colors=cache.line_colors)
+                n_miss = (valid & ~hit).sum(dtype=jnp.int32)
+                y = labels_dev[seeds]
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, k2, blocks, feats, y)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                n_edges = sum(b.mask.sum() for b in blocks)
+                return (cache, params, opt_state), (loss, n_miss, n_edges)
+
+            keys = jax.random.split(key, seeds_grid.shape[0])
+            (cache, params, opt_state), (losses, miss, edges) = jax.lax.scan(
+                body, (cache, params, opt_state),
+                (seeds_grid, jax.random.key_data(keys)))
+            return cache, params, opt_state, losses, miss, edges
+
+        self._window = jax.jit(window)
+
         self._stage_a = stage_a
         self._stage_b = stage_b
         self._eval_b = eval_b
@@ -153,6 +190,35 @@ class ResidentTrainer:
     def train_step(self, params, opt_state, key, resolved):
         blocks, feats, y = resolved
         return self._stage_b(params, opt_state, key, blocks, feats, y)
+
+    def train_window(self, params, opt_state, seeds_grid: np.ndarray, key):
+        """K fused steps in one dispatch. seeds_grid int32 [K, B].
+
+        Returns (params', opt_state', losses [K], edges [K]). If any step in
+        the window missed the cache, the whole window is transparently
+        replayed through the exact per-step path (with host miss repair)
+        from the pre-window state — results are then exact, just slower;
+        at steady state this never happens."""
+        import jax
+
+        seeds_dev = jnp.asarray(np.ascontiguousarray(seeds_grid, np.int32))
+        cache0, params0, opt0 = self.cache, params, opt_state
+        self.cache, params, opt_state, losses, miss, edges = self._window(
+            self.cache, params, opt_state, seeds_dev, key)
+        if int(np.asarray(miss).sum()) == 0:
+            return params, opt_state, losses, edges
+
+        # precise replay: roll back and run each step with miss repair
+        self.cache, params, opt_state = cache0, params0, opt0
+        out_losses, out_edges = [], []
+        for i in range(seeds_grid.shape[0]):
+            key, k1, k2 = jax.random.split(key, 3)
+            resolved = self.resolve(self.begin(seeds_grid[i], k1))
+            params, opt_state, loss, acc = self.train_step(
+                params, opt_state, k2, resolved)
+            out_losses.append(loss)
+            out_edges.append(sum(b.mask.sum() for b in resolved[0]))
+        return params, opt_state, jnp.stack(out_losses), jnp.stack(out_edges)
 
     def eval_step(self, params, resolved) -> int:
         blocks, feats, y = resolved

@@ -84,3 +84,59 @@ def test_resident_training_learns(setup):
     resolved = rt.resolve(rt.begin(ds.test_idx[:32], jax.random.key(9)))
     correct = rt.eval_step(params, resolved)
     assert 0 <= correct <= 32
+
+
+def test_fused_window_trains(setup):
+    ds, store, rt, model = setup
+    rt.prewarm(np.arange(ds.graph.num_nodes))
+    rng = np.random.default_rng(4)
+    grid0 = np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                      for _ in range(4)]).astype(np.int32)
+    resolved = rt.resolve(rt.begin(grid0[0], jax.random.key(0)))
+    params = model.init(jax.random.key(0), resolved[0], resolved[1])
+    opt = rt.tx.init(params)
+
+    first = last = None
+    for w in range(5):
+        grid = np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                         for _ in range(4)]).astype(np.int32)
+        params, opt, losses, edges = rt.train_window(
+            params, opt, grid, jax.random.key(w + 1))
+        losses = np.asarray(losses)
+        assert losses.shape == (4,)
+        assert np.isfinite(losses).all()
+        assert (np.asarray(edges) > 0).all()
+        if first is None:
+            first = losses[0]
+        last = losses[-1]
+    assert last < first        # learning across fused windows
+
+
+def test_fused_window_replays_on_miss(setup):
+    """A cold cache forces the precise replay path; features must still be
+    exact (loss finite, steps counted)."""
+    import optax
+    from coala_gnn_tpu.cache import feature_cache as fc
+    from coala_gnn_tpu.models import make_model
+    from coala_gnn_tpu.parallel.resident import ResidentTrainer
+
+    ds, store, _, _ = setup
+    cfg = fc.CacheConfig(num_sets=128, ways=fc.WAYS, dim=32,
+                         cache_dim=fc.round_cache_dim(32), num_colors=0)
+    model = make_model("sage", hidden=16, num_classes=8, num_layers=2,
+                       dropout=0.0)
+    rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                         labels=ds.labels, cache_cfg=cfg, model=model,
+                         tx=optax.adam(1e-2), fanouts=[5, 4], batch_size=32)
+    # NO prewarm: first window must miss and replay
+    rng = np.random.default_rng(5)
+    grid = np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                     for _ in range(3)]).astype(np.int32)
+    resolved = rt.resolve(rt.begin(grid[0], jax.random.key(0)))
+    params = model.init(jax.random.key(0), resolved[0], resolved[1])
+    opt = rt.tx.init(params)
+    params, opt, losses, edges = rt.train_window(params, opt, grid,
+                                                 jax.random.key(1))
+    assert np.isfinite(np.asarray(losses)).all()
+    s = rt.stats()
+    assert s["misses"] > 0     # the replay path actually ran
