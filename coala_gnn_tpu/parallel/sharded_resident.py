@@ -133,6 +133,98 @@ class ShardedResidentTrainer:
 
         self._stage_b = jax.jit(stage_b)
 
+        # ---- fused multi-step window (multi-device) ----------------------
+        def window_local(state, params, opt_state, seeds_grid, keys):
+            """Per-device: scan K fused sample+exchange+train steps.
+            seeds_grid [1, K, B]; keys [K, 2] uint32 key data (replicated)."""
+            seeds_grid = seeds_grid[0]
+
+            def body(carry, inp):
+                local, params, opt_state = carry
+                seeds, kdata = inp
+                k = jax.random.wrap_key_data(kdata)
+                k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
+                k1, k2 = jax.random.split(k)
+                blocks, ids, num = sample_blocks_device(
+                    g, seeds, fanouts, B, k1, dedup=False)
+                valid = ids != sentinel
+                local2, feats, hit, overflow = exchange_lookup(
+                    cfg, bucket_cap, n_route, local, ids, valid)
+                n_miss = (valid & (~hit | overflow)).sum(dtype=jnp.int32)
+                n_miss = jax.lax.psum(n_miss, DATA_AXIS)
+                y = labels_dev[seeds]
+
+                def lfn(p):
+                    logits = model.apply(p, blocks, feats, train=True,
+                                         rngs={"dropout": k2})[:B]
+                    return optax.softmax_cross_entropy_with_integer_labels(
+                        logits, y).mean()
+
+                loss, grads = jax.value_and_grad(lfn)(params)
+                grads = jax.lax.pmean(grads, DATA_AXIS)
+                loss = jax.lax.pmean(loss, DATA_AXIS)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                n_edges = jax.lax.psum(
+                    sum(b.mask.sum() for b in blocks), DATA_AXIS)
+                return (local2, params, opt_state), (loss, n_miss, n_edges)
+
+            local = _to_local(state)
+            (local, params, opt_state), (losses, miss, edges) = jax.lax.scan(
+                body, (local, params, opt_state), (seeds_grid, keys))
+            return _from_local(local), params, opt_state, losses, miss, edges
+
+        self._window_cache = {}
+        self._window_local = window_local
+        self._mesh = mesh
+        self._state_specs = state_specs
+
+    def _window_jit(self, params, opt_state):
+        key = "window"
+        if key in self._window_cache:
+            return self._window_cache[key]
+        pspec = jax.tree.map(lambda _: P(), params)
+        ospec = jax.tree.map(lambda _: P(), opt_state)
+        k = jax.jit(shard_map(
+            self._window_local, mesh=self._mesh,
+            in_specs=(self._state_specs, pspec, ospec,
+                      P(DATA_AXIS, None), P()),
+            out_specs=(self._state_specs, pspec, ospec, P(), P(), P()),
+            check_vma=False))
+        self._window_cache[key] = k
+        return k
+
+    def train_window(self, params, opt_state, seeds_grid: np.ndarray, key):
+        """K fused DP steps in one dispatch. seeds_grid int32 [n_dev, K, B].
+        Replays per step (with host miss repair) from the pre-window state
+        if any step missed anywhere on the mesh."""
+        k_window = self._window_jit(params, opt_state)
+        sh = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        seeds_dev = jax.device_put(
+            np.ascontiguousarray(seeds_grid, np.int32), sh)
+        K = seeds_grid.shape[1]
+        keys = jax.random.key_data(jax.random.split(key, K))
+
+        cache0, params0, opt0 = self.cache.state, params, opt_state
+        self.cache.state, params, opt_state, losses, miss, edges = k_window(
+            self.cache.state, params, opt_state, seeds_dev, keys)
+        if int(np.asarray(miss).sum()) == 0:
+            return params, opt_state, losses, edges
+
+        # precise replay through the per-step miss-repair path
+        self.cache.state, params, opt_state = cache0, params0, opt0
+        out_losses, out_edges = [], []
+        for i in range(K):
+            key, k1, k2 = jax.random.split(key, 3)
+            handle = self.begin(seeds_grid[:, i], k1)
+            resolved = self.resolve(handle)
+            params, opt_state, loss, acc = self.train_step(
+                params, opt_state, k2, resolved)
+            out_losses.append(loss)
+            out_edges.append(handle[6].sum())   # per-device edge counts
+        return (params, opt_state, jnp.stack(out_losses),
+                jnp.stack(out_edges).astype(jnp.float32))
+
     # ------------------------------------------------------------------
     def begin(self, seed_grid: np.ndarray, key):
         """seed_grid int32 [n_dev, B] — each device's seed slice (from the

@@ -82,3 +82,31 @@ def test_sharded_resident_trains_and_hits(setup):
     assert losses[-1] < losses[0]
     s = rt.cache.stats()
     assert s["hits"] > 0      # sharded cache serves repeat requests
+
+
+def test_sharded_fused_window(setup):
+    ds, store, rt, model, mesh = setup
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(7)
+    import jax.numpy as jnp
+
+    # init params
+    grid0 = _seed_grid(ds, rng, n_dev, 16)
+    resolved = rt.resolve(rt.begin(grid0, jax.random.key(0)))
+    blocks0 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]), resolved[0])
+    params = model.init(jax.random.key(0), blocks0,
+                        jnp.asarray(np.asarray(resolved[1])[0]))
+    opt = rt.tx.init(params)
+
+    K = 3
+    losses_all = []
+    for w in range(4):
+        grid = np.stack([_seed_grid(ds, rng, n_dev, 16) for _ in range(K)],
+                        axis=1)             # [n_dev, K, B]
+        params, opt, losses, edges = rt.train_window(params, opt, grid,
+                                                     jax.random.key(w + 1))
+        losses = np.asarray(losses)
+        assert losses.shape == (K,)
+        assert np.isfinite(losses).all()
+        losses_all.extend(losses.tolist())
+    assert losses_all[-1] < losses_all[0]
