@@ -19,7 +19,7 @@ import sys
 from typing import Dict, List
 
 EPOCH_RE = re.compile(
-    r"Epoch (\d+) \| loss ([\d.eE+-]+) \| batch acc ([\d.]+) \| "
+    r"Epoch (\d+) \| loss ([\d.eE+-]+) \| batch acc ([\d.]+|n/a) \| "
     r"Epoch Time: ([\d.]+)s \| feature agg time ([\d.]+)s \| "
     r"sampled nodes (\d+)")
 CACHE_RE = re.compile(r"Cache hit ratio: ([\d.]+) \((\d+) hits / (\d+) misses\)")
@@ -32,7 +32,8 @@ def parse(text: str) -> Dict:
         epochs.append({
             "epoch": int(m.group(1)),
             "loss": float(m.group(2)),
-            "batch_acc": float(m.group(3)),
+            "batch_acc": (float(m.group(3)) if m.group(3) != "n/a"
+                          else None),
             "epoch_time_s": float(m.group(4)),
             "feature_agg_time_s": float(m.group(5)),
             "sampled_nodes": int(m.group(6)),

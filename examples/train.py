@@ -60,6 +60,12 @@ def parse_args(argv=None):
                    help="host: host sampling + cache fetch; resident: "
                         "on-device sampling + exchange probe (seeds-only "
                         "upload; needs --cache_size)")
+    p.add_argument("--window", type=int, default=1,
+                   help="resident pipeline: fuse K training steps per "
+                        "dispatch (lax.scan); composes with node_color when "
+                        "K <= refresh_counter (seed grids use one cache-meta "
+                        "snapshot, which is the refresh-cadence contract "
+                        "anyway)")
     p.add_argument("--distribution", type=str, default="baseline",
                    choices=["baseline", "node_color"])
     p.add_argument("--refresh_counter", type=int, default=8)
@@ -118,34 +124,63 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
         domain = scheduler.run_domain()
         return domain.reshape(n_dev, B).astype(np.int32)
 
+    def init_params(resolved):
+        import jax.numpy as jnp
+        blocks0 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]),
+                               resolved[0])
+        p = model.init(jax.random.key(args.seed), blocks0,
+                       jnp.asarray(np.asarray(resolved[1])[0]))
+        return p, tx.init(p)
+
+    K = max(args.window, 1)
+    if K > 1 and args.refresh_counter < K:
+        print(f"note: clamping window {K} to refresh_counter "
+              f"{args.refresh_counter} to keep the cache-meta cadence")
+        K = args.refresh_counter
+
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         loss = acc = None
         pending = None
         edge_counts = []
-        for it in range(steps_per_epoch):
-            key, k1, k2 = jax.random.split(key, 3)
-            nxt = rt.begin(seed_grid(), k1) if it == 0 else pending
-            # pipeline one ahead
-            if it + 1 < steps_per_epoch:
-                key, kp = jax.random.split(key)
-                pending = rt.begin(seed_grid(), kp)
-            resolved = rt.resolve(nxt)
+        it = 0
+        while it < steps_per_epoch:
             if params is None:
-                import jax.numpy as jnp
-                blocks0 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]),
-                                       resolved[0])
-                params = model.init(jax.random.key(args.seed), blocks0,
-                                    jnp.asarray(np.asarray(resolved[1])[0]))
-                opt_state = tx.init(params)
-            params, opt_state, loss, acc = rt.train_step(params, opt_state,
-                                                         k2, resolved)
-            edge_counts.append(nxt[6])
+                key, k0 = jax.random.split(key)
+                resolved0 = rt.resolve(rt.begin(seed_grid(), k0))
+                params, opt_state = init_params(resolved0)
+                key, k2 = jax.random.split(key)
+                params, opt_state, loss, acc = rt.train_step(
+                    params, opt_state, k2, resolved0)
+                it += 1
+                continue
+            if K > 1:
+                k_here = min(K, steps_per_epoch - it)
+                grid = np.stack([seed_grid() for _ in range(k_here)], axis=1)
+                key, kw = jax.random.split(key)
+                params, opt_state, losses, edges = rt.train_window(
+                    params, opt_state, grid, kw)
+                loss = losses[-1]
+                edge_counts.append(edges)
+                it += k_here
+            else:
+                key, k1, k2 = jax.random.split(key, 3)
+                nxt = rt.begin(seed_grid(), k1) if pending is None else pending
+                pending = None
+                if it + 1 < steps_per_epoch:
+                    key, kp = jax.random.split(key)
+                    pending = rt.begin(seed_grid(), kp)
+                resolved = rt.resolve(nxt)
+                params, opt_state, loss, acc = rt.train_step(
+                    params, opt_state, k2, resolved)
+                edge_counts.append(nxt[6])
+                it += 1
         jax.block_until_ready(loss)
         dt = time.perf_counter() - t0
         sampled = int(sum(float(np.asarray(c).sum()) for c in edge_counts))
+        acc_s = f"{float(acc):.4f}" if acc is not None else "n/a"
         print(f"Epoch {epoch} | loss {float(loss):.4f} | batch acc "
-              f"{float(acc):.4f} | Epoch Time: {dt:.3f}s | feature agg time "
+              f"{acc_s} | Epoch Time: {dt:.3f}s | feature agg time "
               f"0.000s | sampled nodes {sampled}")
         s = cache.stats()
         print(f"Cache hit ratio: {s['hit_ratio']:.3f} "
