@@ -65,11 +65,9 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps):
     K = int(os.environ.get("BENCH_WINDOW", 8))  # fused steps per dispatch
     rng = np.random.default_rng(0)
     key = jax.random.key(0)
-    # Fused windows replay exactly on any miss, so they only pay when the
-    # cache covers the working set; under capacity pressure the per-step
-    # pipelined path (misses resolved while the next probe is in flight)
-    # is the right engine.
-    use_window = cfg.capacity >= ds.graph.num_nodes
+    # Fused windows presample+prefetch their misses, so they pay in every
+    # regime; BENCH_PER_STEP=1 forces the per-step pipelined engine for A/B.
+    use_window = not int(os.environ.get("BENCH_PER_STEP", 0))
 
     def seeds_one():
         return rng.choice(ds.train_idx, B, replace=False).astype(np.int32)

@@ -142,6 +142,37 @@ class ResidentTrainer:
 
         self._window = jax.jit(window)
 
+        # Presample-prefetch: seeds and keys are known before the window, so
+        # the (cheap) sampling + probe can run first and report exactly which
+        # ids the window will miss; one repair insert then GUARANTEES the
+        # fused window hits everything (lookups never evict), eliminating
+        # the rollback-replay cliff when misses trickle.
+        def presample(cache, seeds_grid, keys):
+            def body(_, inp):
+                seeds, k = inp
+                k1, _ = jax.random.split(jax.random.wrap_key_data(k))
+                _, ids, _ = sample_blocks_device(g, seeds, fanouts, B, k1,
+                                                 dedup=False)
+                valid = ids != sentinel
+                _, _, hit = fc.lookup(cfg, cache.base,
+                                      jnp.where(valid, ids, 0), valid,
+                                      count_stats=False)
+                miss_ids = jnp.where(valid & ~hit, ids, -1)
+                return 0, miss_ids
+
+            _, miss = jax.lax.scan(body, 0, (seeds_grid, keys))
+            return miss.reshape(-1)          # [K * cap] (-1 = no miss)
+
+        self._presample = jax.jit(presample)
+
+        def insert_rows(cache, ids_d, rows, colors_d):
+            return fc.insert_with_colors(cfg, cache, jnp.where(ids_d >= 0,
+                                                               ids_d, 0),
+                                         rows, ids_d >= 0, colors_d)
+
+        self._insert_rows = {}
+        self._insert_rows_fn = insert_rows
+
         self._stage_a = stage_a
         self._stage_b = stage_b
         self._eval_b = eval_b
@@ -191,17 +222,41 @@ class ResidentTrainer:
         blocks, feats, y = resolved
         return self._stage_b(params, opt_state, key, blocks, feats, y)
 
+    def _prefetch_window(self, seeds_dev, keys_data) -> None:
+        """Presample the window, repair any misses once (guaranteeing the
+        fused pass hits everything)."""
+        miss = np.asarray(self._presample(self.cache, seeds_dev, keys_data))
+        mids = np.unique(miss[miss >= 0])
+        if mids.size == 0:
+            return
+        m_cap = 1 << max(int(mids.size) - 1, 0).bit_length()
+        if m_cap not in self._insert_rows:
+            self._insert_rows[m_cap] = jax.jit(self._insert_rows_fn)
+        ids_p = np.full(m_cap, -1, np.int32)
+        ids_p[: mids.size] = mids
+        rows = np.zeros((m_cap, self.cache_cfg.dim), np.float32)
+        rows[: mids.size] = self.host_fetch(mids.astype(np.int64))
+        colors_d = np.zeros(m_cap, np.int32)
+        if self.colors is not None:
+            colors_d[: mids.size] = self.colors[mids]
+        self.cache = self._insert_rows[m_cap](
+            self.cache, jnp.asarray(ids_p), jnp.asarray(rows),
+            jnp.asarray(colors_d))
+
     def train_window(self, params, opt_state, seeds_grid: np.ndarray, key):
         """K fused steps in one dispatch. seeds_grid int32 [K, B].
 
-        Returns (params', opt_state', losses [K], edges [K]). If any step in
-        the window missed the cache, the whole window is transparently
-        replayed through the exact per-step path (with host miss repair)
-        from the pre-window state — results are then exact, just slower;
-        at steady state this never happens."""
+        Returns (params', opt_state', losses [K], edges [K]). The window is
+        presampled and its misses prefetched first, so the fused pass is
+        guaranteed to hit; the rollback-replay path remains as a safety net
+        (it can only trigger if the prefetch insert itself evicted a line
+        another step needed — possible only under extreme set pressure)."""
         import jax
 
         seeds_dev = jnp.asarray(np.ascontiguousarray(seeds_grid, np.int32))
+        keys_data = jax.random.key_data(
+            jax.random.split(key, seeds_grid.shape[0]))
+        self._prefetch_window(seeds_dev, keys_data)
         cache0, params0, opt0 = self.cache, params, opt_state
         self.cache, params, opt_state, losses, miss, edges = self._window(
             self.cache, params, opt_state, seeds_dev, key)
