@@ -60,7 +60,7 @@ class ResidentTrainer:
         sentinel = self.g.num_nodes
 
         @jax.jit
-        def stage_a(cache, seeds, key):
+        def stage_a(g, labels_dev, cache, seeds, key):
             blocks, ids, num = sample_blocks_device(g, seeds, fanouts, B, key,
                                                     dedup=self.dedup)
             if self.dedup:
@@ -113,7 +113,7 @@ class ResidentTrainer:
         # steps through the exact begin/resolve path (train_window does
         # this). At steady state (warm cache) the window never replays and
         # per-step dispatch overhead is divided by K.
-        def window(cache, params, opt_state, seeds_grid, key):
+        def window(g, labels_dev, cache, params, opt_state, seeds_grid, key):
             def body(carry, inp):
                 cache, params, opt_state = carry
                 seeds, k = inp
@@ -147,7 +147,7 @@ class ResidentTrainer:
         # ids the window will miss; one repair insert then GUARANTEES the
         # fused window hits everything (lookups never evict), eliminating
         # the rollback-replay cliff when misses trickle.
-        def presample(cache, seeds_grid, keys):
+        def presample(g, cache, seeds_grid, keys):
             def body(_, inp):
                 seeds, k = inp
                 k1, _ = jax.random.split(jax.random.wrap_key_data(k))
@@ -184,7 +184,7 @@ class ResidentTrainer:
     def begin(self, seeds: np.ndarray, key) -> tuple:
         seeds_dev = jnp.asarray(np.asarray(seeds, np.int32))
         self.cache, blocks, ids, valid, feats, hit, n_miss, n_edges, y = \
-            self._stage_a(self.cache, seeds_dev, key)
+            self._stage_a(self.g, self.labels_dev, self.cache, seeds_dev, key)
         try:
             n_miss.copy_to_host_async()
         except Exception:
@@ -225,7 +225,8 @@ class ResidentTrainer:
     def _prefetch_window(self, seeds_dev, keys_data) -> None:
         """Presample the window, repair any misses once (guaranteeing the
         fused pass hits everything)."""
-        miss = np.asarray(self._presample(self.cache, seeds_dev, keys_data))
+        miss = np.asarray(self._presample(self.g, self.cache, seeds_dev,
+                                          keys_data))
         mids = np.unique(miss[miss >= 0])
         if mids.size == 0:
             return
@@ -259,7 +260,8 @@ class ResidentTrainer:
         self._prefetch_window(seeds_dev, keys_data)
         cache0, params0, opt0 = self.cache, params, opt_state
         self.cache, params, opt_state, losses, miss, edges = self._window(
-            self.cache, params, opt_state, seeds_dev, key)
+            self.g, self.labels_dev, self.cache, params, opt_state,
+            seeds_dev, key)
         if int(np.asarray(miss).sum()) == 0:
             return params, opt_state, losses, edges
 

@@ -71,7 +71,7 @@ class ShardedResidentTrainer:
         bucket_cap = n_req if n_route == 1 else min(
             n_req, int(self.cache.bucket_slack * n_req / n_route) + 1)
 
-        def body_a(state, seeds, key):
+        def body_a(g, labels_dev, state, seeds, key):
             seeds = seeds[0]                       # [B] this device's slice
             key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
             blocks, ids, num = sample_blocks_device(g, seeds, fanouts, B, key,
@@ -91,9 +91,10 @@ class ShardedResidentTrainer:
 
         blocks_spec = [jax.tree.map(lambda _: P(DATA_AXIS), b)
                        for b in _block_struct(len(fanouts))]
+        g_specs = jax.tree.map(lambda _: P(), g)
         self._stage_a = jax.jit(shard_map(
             body_a, mesh=mesh,
-            in_specs=(state_specs, P(DATA_AXIS), P()),
+            in_specs=(g_specs, P(), state_specs, P(DATA_AXIS), P()),
             out_specs=(state_specs, blocks_spec, P(DATA_AXIS), P(DATA_AXIS),
                        P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                        P(DATA_AXIS)),
@@ -134,7 +135,8 @@ class ShardedResidentTrainer:
         self._stage_b = jax.jit(stage_b)
 
         # ---- fused multi-step window (multi-device) ----------------------
-        def window_local(state, params, opt_state, seeds_grid, keys):
+        def window_local(g, labels_dev, state, params, opt_state, seeds_grid,
+                         keys):
             """Per-device: scan K fused sample+exchange+train steps.
             seeds_grid [1, K, B]; keys [K, 2] uint32 key data (replicated)."""
             seeds_grid = seeds_grid[0]
@@ -178,6 +180,9 @@ class ShardedResidentTrainer:
         self._window_local = window_local
         self._mesh = mesh
         self._state_specs = state_specs
+        self._g = g
+        self._g_specs = g_specs
+        self._labels_dev = labels_dev
 
     def _window_jit(self, params, opt_state):
         key = "window"
@@ -187,7 +192,7 @@ class ShardedResidentTrainer:
         ospec = jax.tree.map(lambda _: P(), opt_state)
         k = jax.jit(shard_map(
             self._window_local, mesh=self._mesh,
-            in_specs=(self._state_specs, pspec, ospec,
+            in_specs=(self._g_specs, P(), self._state_specs, pspec, ospec,
                       P(DATA_AXIS, None), P()),
             out_specs=(self._state_specs, pspec, ospec, P(), P(), P()),
             check_vma=False))
@@ -207,7 +212,8 @@ class ShardedResidentTrainer:
 
         cache0, params0, opt0 = self.cache.state, params, opt_state
         self.cache.state, params, opt_state, losses, miss, edges = k_window(
-            self.cache.state, params, opt_state, seeds_dev, keys)
+            self._g, self._labels_dev, self.cache.state, params, opt_state,
+            seeds_dev, keys)
         if int(np.asarray(miss).sum()) == 0:
             return params, opt_state, losses, edges
 
@@ -233,7 +239,8 @@ class ShardedResidentTrainer:
         seeds_dev = jax.device_put(
             np.ascontiguousarray(seed_grid, np.int32), sh)
         self.cache.state, blocks, ids, valid, feats, hit, n_miss, n_edges, y \
-            = self._stage_a(self.cache.state, seeds_dev, key)
+            = self._stage_a(self._g, self._labels_dev, self.cache.state,
+                            seeds_dev, key)
         try:
             n_miss.copy_to_host_async()
         except Exception:
