@@ -161,7 +161,8 @@ class ResidentTrainer:
                 return 0, miss_ids
 
             _, miss = jax.lax.scan(body, 0, (seeds_grid, keys))
-            return miss.reshape(-1)          # [K * cap] (-1 = no miss)
+            miss = miss.reshape(-1)          # [K * cap] (-1 = no miss)
+            return (miss >= 0).sum(dtype=jnp.int32), miss
 
         self._presample = jax.jit(presample)
 
@@ -179,6 +180,7 @@ class ResidentTrainer:
         self._repair = {}
         self._repair_fn = repair
         self.hits = self.misses = 0
+        self.full_coverage = False
 
     # ------------------------------------------------------------------
     def begin(self, seeds: np.ndarray, key) -> tuple:
@@ -224,9 +226,13 @@ class ResidentTrainer:
 
     def _prefetch_window(self, seeds_dev, keys_data) -> None:
         """Presample the window, repair any misses once (guaranteeing the
-        fused pass hits everything)."""
-        miss = np.asarray(self._presample(self.g, self.cache, seeds_dev,
-                                          keys_data))
+        fused pass hits everything). Only the 4-byte miss count crosses
+        device->host unless there are misses to repair."""
+        n_miss, miss = self._presample(self.g, self.cache, seeds_dev,
+                                       keys_data)
+        if int(np.asarray(n_miss)) == 0:
+            return
+        miss = np.asarray(miss)
         mids = np.unique(miss[miss >= 0])
         if mids.size == 0:
             return
@@ -255,9 +261,12 @@ class ResidentTrainer:
         import jax
 
         seeds_dev = jnp.asarray(np.ascontiguousarray(seeds_grid, np.int32))
-        keys_data = jax.random.key_data(
-            jax.random.split(key, seeds_grid.shape[0]))
-        self._prefetch_window(seeds_dev, keys_data)
+        if not self.full_coverage:
+            # full coverage -> every probe hits by construction; skip the
+            # presample pass entirely (the replay net still guards).
+            keys_data = jax.random.key_data(
+                jax.random.split(key, seeds_grid.shape[0]))
+            self._prefetch_window(seeds_dev, keys_data)
         cache0, params0, opt0 = self.cache, params, opt_state
         self.cache, params, opt_state, losses, miss, edges = self._window(
             self.g, self.labels_dev, self.cache, params, opt_state,
@@ -283,6 +292,9 @@ class ResidentTrainer:
 
     def prewarm(self, ids: np.ndarray, chunk: int = 65536) -> None:
         cfg = self.cache_cfg
+        ids_arr = np.unique(np.asarray(ids, np.int32))
+        self.full_coverage = (cfg.capacity >= self.graph.num_nodes
+                              and ids_arr.size >= self.graph.num_nodes)
 
         @jax.jit
         def insert(cache, ids_d, rows, colors_d):
