@@ -151,6 +151,14 @@ def lookup(cfg: CacheConfig, state: CacheState, ids: jax.Array,
     return state, feats, hit
 
 
+def probe(cfg: CacheConfig, state: CacheState, ids: jax.Array,
+          valid: jax.Array) -> jax.Array:
+    """Residency check only: tags compare, no data gather, no stats.
+    Returns hit bool [n]. The cheap half of lookup() for prefetch planning."""
+    sets = set_index(cfg, ids)
+    return (state.tags[sets] == ids[:, None]).any(axis=1) & valid
+
+
 def insert(cfg: CacheConfig, state: CacheState, ids: jax.Array,
            feats: jax.Array, valid: jax.Array) -> CacheState:
     """Admit rows into the cache. ids int32 [n] (must be unique among valid

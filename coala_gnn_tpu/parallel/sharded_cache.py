@@ -160,6 +160,34 @@ def exchange_lookup(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
     return local, out, out_hit, overflow
 
 
+def exchange_probe(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
+                   local: fc.ColoredCacheState, ids: jax.Array,
+                   valid: jax.Array) -> jax.Array:
+    """Residency check across the mesh: route ids to owners, compare tags,
+    route hit bits back. No feature movement, no state change — the cheap
+    prefetch-planning half of exchange_lookup. Returns hit bool [n_req]
+    (bucket-overflow slots report as misses, matching the lookup path)."""
+    n_req = ids.shape[0]
+    ids = jnp.where(valid, ids, 0)
+    if n_dev == 1:
+        return fc.probe(cfg, local.base, ids, valid)
+    c = bucket_cap
+    owner, rank = _owner_rank(ids, valid, n_dev)
+    routed = rank < c
+    buckets = jnp.full((n_dev, c), -1, jnp.int32)
+    buckets = buckets.at[owner, rank].set(ids, mode="drop")
+    req = jax.lax.all_to_all(buckets, DATA_AXIS, split_axis=0, concat_axis=0,
+                             tiled=True)
+    req_flat = req.reshape(-1)
+    hit = fc.probe(cfg, local.base, jnp.where(req_flat >= 0, req_flat, 0),
+                   req_flat >= 0)
+    hit_back = jax.lax.all_to_all(hit.reshape(n_dev, c), DATA_AXIS,
+                                  split_axis=0, concat_axis=0, tiled=True)
+    g_owner = jnp.where(routed, owner, 0)
+    g_rank = jnp.where(routed, rank, 0)
+    return hit_back[g_owner, g_rank] & routed & valid
+
+
 def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
                            packed_n_req: int,
                            state: ShardedCacheState, ids: jax.Array,

@@ -34,6 +34,7 @@ from coala_gnn_tpu.parallel.sharded_cache import (
     _to_local,
     _from_local,
     exchange_lookup,
+    exchange_probe,
 )
 from coala_gnn_tpu.sampling.device_sampler import (
     sample_blocks_device,
@@ -176,6 +177,37 @@ class ShardedResidentTrainer:
                 body, (local, params, opt_state), (seeds_grid, keys))
             return _from_local(local), params, opt_state, losses, miss, edges
 
+        # Presample-prefetch (multi-device): replicate the window's exact
+        # key derivation, probe residency only (exchange_probe), and return
+        # the global miss count + per-device miss ids. One batched
+        # owner-partitioned insert then guarantees the fused window hits.
+        def presample_local(g, state, seeds_grid, keys):
+            seeds_grid = seeds_grid[0]
+            local = _to_local(state)
+
+            def body(_, inp):
+                seeds, kdata = inp
+                k = jax.random.wrap_key_data(kdata)
+                k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
+                k1, _ = jax.random.split(k)
+                _, ids, _ = sample_blocks_device(g, seeds, fanouts, B, k1,
+                                                 dedup=False)
+                valid = ids != sentinel
+                hit = exchange_probe(cfg, bucket_cap, n_route, local, ids,
+                                     valid)
+                return 0, jnp.where(valid & ~hit, ids, -1)
+
+            _, miss = jax.lax.scan(body, 0, (seeds_grid, keys))
+            miss = miss.reshape(-1)
+            n_miss = jax.lax.psum((miss >= 0).sum(dtype=jnp.int32), DATA_AXIS)
+            return n_miss[None], miss[None]
+
+        self._presample = jax.jit(shard_map(
+            presample_local, mesh=mesh,
+            in_specs=(g_specs, state_specs, P(DATA_AXIS, None, None), P()),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False))
+
         self._window_cache = {}
         self._window_local = window_local
         self._mesh = mesh
@@ -183,6 +215,7 @@ class ShardedResidentTrainer:
         self._g = g
         self._g_specs = g_specs
         self._labels_dev = labels_dev
+        self.full_coverage = False
 
     def _window_jit(self, params, opt_state):
         key = "window"
@@ -199,6 +232,21 @@ class ShardedResidentTrainer:
         self._window_cache[key] = k
         return k
 
+    def _prefetch_window(self, seeds_dev, keys) -> None:
+        """Probe the window's residency across the mesh and repair all
+        misses with one owner-partitioned insert, so the fused pass hits
+        everything. Only a per-device miss count crosses device->host on
+        the all-hit path."""
+        n_miss, miss = self._presample(self._g, self.cache.state, seeds_dev,
+                                       keys)
+        if not np.asarray(n_miss).any():
+            return
+        miss_np = np.asarray(miss)
+        mids = np.unique(miss_np[miss_np >= 0])
+        if mids.size == 0:
+            return
+        self.cache.prewarm(mids, self.host_fetch, colors=self.colors)
+
     def train_window(self, params, opt_state, seeds_grid: np.ndarray, key):
         """K fused DP steps in one dispatch. seeds_grid int32 [n_dev, K, B].
         Replays per step (with host miss repair) from the pre-window state
@@ -209,6 +257,9 @@ class ShardedResidentTrainer:
             np.ascontiguousarray(seeds_grid, np.int32), sh)
         K = seeds_grid.shape[1]
         keys = jax.random.key_data(jax.random.split(key, K))
+
+        if not self.full_coverage:
+            self._prefetch_window(seeds_dev, keys)
 
         cache0, params0, opt0 = self.cache.state, params, opt_state
         self.cache.state, params, opt_state, losses, miss, edges = k_window(

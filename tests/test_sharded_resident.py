@@ -84,6 +84,56 @@ def test_sharded_resident_trains_and_hits(setup):
     assert s["hits"] > 0      # sharded cache serves repeat requests
 
 
+def test_sharded_window_cold_cache_prefetches():
+    """Cold sharded cache: the exchange-probe presample must prefetch all
+    misses so the fused multi-device window runs without replay, and be
+    deterministic vs a de-novo run."""
+    import jax.numpy as jnp
+    import optax
+
+    ds = synthetic_graph(num_nodes=3000, avg_degree=8, feature_dim=24,
+                         num_classes=4, seed=41)
+    store = HostFeatureStore(ds.features)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    model = make_model("sage", hidden=16, num_classes=4, num_layers=2,
+                       dropout=0.0)
+
+    def mk():
+        cfg = fc.CacheConfig(num_sets=64, ways=fc.WAYS, dim=24,
+                             cache_dim=fc.round_cache_dim(24), num_colors=0,
+                             num_shards=n_dev)
+        cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="sharded")
+        return ShardedResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                                      labels=ds.labels, cache=cache,
+                                      model=model, tx=optax.adam(1e-2),
+                                      fanouts=[4, 3], batch_size=16)
+
+    rng = np.random.default_rng(9)
+    grid = np.stack([np.stack([rng.choice(ds.train_idx, 16, replace=False)
+                               for _ in range(n_dev)])
+                     for _ in range(3)], axis=1)      # [n_dev, K, B]
+
+    def run(rt):
+        g0 = grid[:, 0]
+        resolved = rt.resolve(rt.begin(g0, jax.random.key(0)))
+        blocks0 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]),
+                               resolved[0])
+        params = model.init(jax.random.key(0), blocks0,
+                            jnp.asarray(np.asarray(resolved[1])[0]))
+        opt = rt.tx.init(params)
+        _, _, losses, edges = rt.train_window(params, opt, grid,
+                                              jax.random.key(1))
+        return np.asarray(losses)
+
+    rt1, rt2 = mk(), mk()
+    l1, l2 = run(rt1), run(rt2)
+    assert np.isfinite(l1).all()
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    s = rt1.cache.stats()
+    assert s["hits"] > 0
+
+
 def test_sharded_fused_window(setup):
     ds, store, rt, model, mesh = setup
     n_dev = mesh.devices.size
