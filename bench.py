@@ -72,8 +72,15 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps):
     def seeds_one():
         return rng.choice(ds.train_idx, B, replace=False).astype(np.int32)
 
-    def grid():
-        return np.stack([seeds_one() for _ in range(K)])
+    def make_grids(n_win):
+        """Epoch-permutation seeds (reference parity: shuffled train nids,
+        sbatch_ssd_gnn_train.py:65), sliced into [n_win, K, B] windows."""
+        need = n_win * K * B
+        reps = -(-need // ds.train_idx.size)
+        perm = np.concatenate(
+            [rng.permutation(ds.train_idx) for _ in range(reps)])
+        return np.ascontiguousarray(perm[:need].astype(np.int32)
+                                    .reshape(n_win, K, B))
 
     # init params via one resolved batch
     resolved = rt.resolve(rt.begin(seeds_one(), jax.random.key(9)))
@@ -84,27 +91,22 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps):
     if use_window:
         n_windows = max((warmup + steps) // K, 2)
         warm_w = max(warmup // K, 1)
-        edge_arrays = []
-        loss_arr = None
-        t0 = None
-        for w in range(n_windows):
-            key, sub = jax.random.split(key)
-            params, opt_state, loss_arr, edges_arr = rt.train_window(
-                params, opt_state, grid(), sub)
-            if w == 0:
-                float(np.asarray(loss_arr)[-1])
-                log(f"bench[resident]: compile done (fused window K={K})")
-            if w == warm_w - 1:
-                float(np.asarray(loss_arr)[-1])
-                rt.stats()
-                t0 = time.perf_counter()
-                edge_arrays.clear()
-            if w >= warm_w:
-                edge_arrays.append(edges_arr)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss_arr, _ = rt.train_windows(
+            params, opt_state, make_grids(warm_w), sub)
+        float(np.asarray(loss_arr)[-1])
+        log(f"bench[resident]: compile done (fused window K={K}, "
+            f"{warm_w} warm windows)")
+        rt.stats()
+        meas_grids = make_grids(n_windows - warm_w)
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        params, opt_state, loss_arr, edges_arr = rt.train_windows(
+            params, opt_state, meas_grids, sub)
         loss = float(np.asarray(loss_arr)[-1])
         dt = (time.perf_counter() - t0)
         n_done = K * (n_windows - warm_w)
-        edges = sum(float(np.asarray(e).sum()) for e in edge_arrays)
+        edges = float(np.asarray(edges_arr).sum())
     else:
         log("bench[resident]: capacity pressure -> per-step pipelined path")
         pending = []
@@ -188,8 +190,8 @@ def main():
     num_nodes = int(os.environ.get("BENCH_NODES", 200_000))
     cache_mb = int(os.environ.get("BENCH_CACHE_MB", 1024))
     bf16 = bool(int(os.environ.get("BENCH_BF16", 0)))
-    warmup, steps = int(os.environ.get("BENCH_WARMUP", 8)), \
-        int(os.environ.get("BENCH_STEPS", 24))
+    warmup, steps = int(os.environ.get("BENCH_WARMUP", 16)), \
+        int(os.environ.get("BENCH_STEPS", 64))
 
     resident = bool(int(os.environ.get("BENCH_RESIDENT", 1)))
 

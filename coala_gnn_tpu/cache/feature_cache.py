@@ -169,7 +169,16 @@ def insert(cfg: CacheConfig, state: CacheState, ids: jax.Array,
     otherwise claim ways round-robin from the set cursor. Multiple new
     arrivals to one set claim consecutive ways via their within-set
     occurrence rank (the batch-synchronous equivalent of the reference's
-    lock + rr_evict sequence, nvshmem_cache.h:417-446)."""
+    lock + rr_evict sequence, nvshmem_cache.h:417-446).
+
+    Duplicate-scatter discipline: every (set, way) slot is written by AT
+    MOST ONE row, so the three scatters (tags/data/colors) can never
+    diverge on XLA's unspecified duplicate-index ordering. Two cases are
+    masked: (a) >ways new arrivals to one set would wrap the cursor — only
+    the first `ways` ranks insert (the rest are dropped; a set can only
+    hold `ways` lines anyway); (b) a same-batch refresh whose way is
+    claimed by a new arrival is dropped — the new line evicts it, which is
+    exactly what the reference's serialized lock sequence would do."""
     n = ids.shape[0]
     valid = _dedup_valid(ids, valid)
     sets = set_index(cfg, ids)
@@ -190,8 +199,15 @@ def insert(cfg: CacheConfig, state: CacheState, ids: jax.Array,
     rank_sorted = jnp.arange(n, dtype=jnp.int32) - first_of_run.astype(jnp.int32)
     rank = jnp.zeros(n, dtype=jnp.int32).at[order].set(rank_sorted)
 
+    is_new = is_new & (rank < cfg.ways)               # no cursor wrap (a)
     new_way = (state.rr[sets] + rank) % cfg.ways
     way = jnp.where(already, match_way, new_way)
+
+    # Drop refreshes whose way a same-batch new arrival claims (b).
+    claimed = jnp.zeros((cfg.num_sets, cfg.ways), jnp.bool_).at[
+        jnp.where(is_new, sets, cfg.num_sets), way].set(True, mode="drop")
+    clobbered = valid & already & claimed[sets, way]
+    valid = valid & ~clobbered & (is_new | already)
 
     # Victim bookkeeping for color counters.
     victim_tag = state.tags[sets, way]
@@ -231,7 +247,8 @@ def init_colored_state(cfg: CacheConfig) -> ColoredCacheState:
 def insert_with_colors(cfg: CacheConfig, cstate: ColoredCacheState,
                        ids: jax.Array, feats: jax.Array, valid: jax.Array,
                        colors: jax.Array) -> ColoredCacheState:
-    """insert() + color occupancy accounting."""
+    """insert() + color occupancy accounting (same duplicate-scatter
+    discipline as insert(): one writer per (set, way) slot)."""
     state = cstate.base
     n = ids.shape[0]
     valid = _dedup_valid(ids, valid)
@@ -249,8 +266,13 @@ def insert_with_colors(cfg: CacheConfig, cstate: ColoredCacheState,
     rank_sorted = jnp.arange(n, dtype=jnp.int32) - first_of_run.astype(jnp.int32)
     rank = jnp.zeros(n, dtype=jnp.int32).at[order].set(rank_sorted)
 
+    is_new = is_new & (rank < cfg.ways)
     new_way = (state.rr[sets] + rank) % cfg.ways
     way = jnp.where(already, match_way, new_way)
+    claimed = jnp.zeros((cfg.num_sets, cfg.ways), jnp.bool_).at[
+        jnp.where(is_new, sets, cfg.num_sets), way].set(True, mode="drop")
+    clobbered = valid & already & claimed[sets, way]
+    valid = valid & ~clobbered & (is_new | already)
     victim_color = cstate.line_colors[sets, way]
 
     drop_sets = jnp.where(valid, sets, cfg.num_sets)
@@ -276,6 +298,80 @@ def insert_with_colors(cfg: CacheConfig, cstate: ColoredCacheState,
     base = CacheState(tags=tags, data=data, rr=rr, color_counts=cc,
                       hits=state.hits, misses=state.misses)
     return ColoredCacheState(base=base, line_colors=line_colors)
+
+
+# ---- flat (direct-mapped) resident tier ----------------------------------
+#
+# When device HBM can hold EVERY feature row (capacity >= num_nodes), the
+# set-associative machinery is pure overhead: the probe costs two dependent
+# random gathers (tags row + data row) per request, but a flat [N, dim]
+# table needs exactly one and can never evict. The reference has no such
+# tier because GPU HBM could never fit its datasets' features; on TPU it is
+# the natural top of the storage hierarchy (flat HBM > associative HBM
+# cache > host RAM > disk). ResidentTrainer auto-selects it.
+
+class FlatState(NamedTuple):
+    data: jax.Array          # dtype [num_nodes + 1, dim] (+1 = scratch row)
+    admitted: jax.Array      # uint8 [num_nodes + 1]
+    color_counts: jax.Array  # int32 [num_colors + 1]
+    hits: jax.Array          # int32 []
+    misses: jax.Array        # int32 []
+
+
+def flat_init(cfg: CacheConfig, num_nodes: int) -> FlatState:
+    return FlatState(
+        data=jnp.zeros((num_nodes + 1, cfg.dim), dtype=cfg.dtype),
+        admitted=jnp.zeros(num_nodes + 1, dtype=jnp.uint8),
+        color_counts=jnp.zeros(cfg.num_colors + 1, dtype=jnp.int32),
+        hits=jnp.zeros((), dtype=jnp.int32),
+        misses=jnp.zeros((), dtype=jnp.int32))
+
+
+def flat_lookup(state: FlatState, ids: jax.Array, valid: jax.Array,
+                count_stats: bool = True, assume_hit: bool = False
+                ) -> Tuple[FlatState, jax.Array, jax.Array]:
+    """One gather. assume_hit=True skips the residency-byte gather entirely
+    (valid only when the caller guarantees admission, e.g. a presampled
+    fused window or full prewarm)."""
+    feats = state.data[ids]
+    if assume_hit:
+        hit = valid
+    else:
+        hit = (state.admitted[ids] > 0) & valid
+        feats = jnp.where(hit[:, None], feats, 0)
+    if count_stats:
+        n_hit = hit.sum(dtype=jnp.int32)
+        n_valid = valid.sum(dtype=jnp.int32)
+        state = state._replace(hits=state.hits + n_hit,
+                               misses=state.misses + (n_valid - n_hit))
+    return state, feats, hit
+
+
+def flat_probe(state: FlatState, ids: jax.Array, valid: jax.Array
+               ) -> jax.Array:
+    return (state.admitted[ids] > 0) & valid
+
+
+def flat_insert(cfg: CacheConfig, state: FlatState, ids: jax.Array,
+                feats: jax.Array, valid: jax.Array,
+                colors: jax.Array) -> FlatState:
+    """Admit rows (no eviction possible; re-admission refreshes in place).
+    Color occupancy counts first admissions only."""
+    n_nodes = state.data.shape[0] - 1
+    slot = jnp.where(valid, ids, n_nodes)         # scratch row for invalid
+    data = state.data.at[slot].set(feats.astype(state.data.dtype))
+    if cfg.num_colors > 0:
+        # dedup within-batch repeats so a node's color is counted once
+        first = _dedup_valid(ids, valid)
+        newly = first & (state.admitted[slot] == 0)
+    else:
+        newly = valid
+    admitted = state.admitted.at[slot].set(1)
+    admitted = admitted.at[n_nodes].set(0)
+    inc_idx = jnp.where(newly & (colors > 0), colors, 0)
+    cc = state.color_counts.at[inc_idx].add(1).at[0].set(0)
+    return FlatState(data=data, admitted=admitted, color_counts=cc,
+                     hits=state.hits, misses=state.misses)
 
 
 def stats(state: CacheState) -> Tuple[CacheState, dict]:

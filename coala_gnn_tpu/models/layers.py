@@ -20,18 +20,28 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from coala_gnn_tpu.ops.aggregate import padded_gather_sum, padded_mean
+from coala_gnn_tpu.ops.aggregate import agg_mean, agg_sum, neighbor_view
 
 
 class DeviceBlock(NamedTuple):
-    """Device-side view of one sampled layer (see sampling.neighbor.Block)."""
+    """Device-side view of one sampled layer (see sampling.neighbor.Block).
 
-    adj: jax.Array    # int32 [cap_dst, fanout] local indices into layer input
+    ``adj is None`` marks the device sampler's contiguous layout
+    (dedup=False: slot (i, k) lives at input row cap_dst + i*fanout + k), in
+    which case every neighbor access is a free reshape instead of a gather —
+    see ops/aggregate.py. None is an empty pytree so both layouts trace
+    through jit/shard_map with the same code."""
+
+    adj: Any          # int32 [cap_dst, fanout] local indices, or None
     mask: jax.Array   # float32 [cap_dst, fanout]
 
     @property
     def cap_dst(self) -> int:
-        return self.adj.shape[0]
+        return self.mask.shape[0]
+
+    @property
+    def fanout(self) -> int:
+        return self.mask.shape[1]
 
 
 def blocks_to_device(blocks: Sequence[Any]) -> List[DeviceBlock]:
@@ -52,7 +62,7 @@ class SAGEConv(nn.Module):
     @nn.compact
     def __call__(self, block: DeviceBlock, x: jax.Array) -> jax.Array:
         h_dst = x[: block.cap_dst]
-        h_neigh = padded_mean(x, block.adj, block.mask)
+        h_neigh = agg_mean(x, block.adj, block.mask)
         out = nn.Dense(self.features, dtype=self.dtype, name="fc_self")(h_dst)
         out = out + nn.Dense(self.features, use_bias=False, dtype=self.dtype,
                              name="fc_neigh")(h_neigh)
@@ -60,12 +70,17 @@ class SAGEConv(nn.Module):
 
 
 class GraphConv(nn.Module):
-    """GCN layer with symmetric sampled-degree normalization.
+    """GCN layer with right (mean) normalization over sampled in-degrees:
+    agg_v = (1/deg_v) * sum_u h_u.
 
-    Equivalent of dgl.nn.GraphConv(allow_zero_in_degree=True) in the
-    reference's GCN (examples/models.py:88-91). Degrees here are *sampled*
-    in-degrees of the block (what DGL uses on blocks as well); zero-in-degree
-    destinations aggregate to zero rather than erroring."""
+    Counterpart of dgl.nn.GraphConv(allow_zero_in_degree=True) in the
+    reference's GCN (examples/models.py:88-91). NOTE a deliberate semantic
+    divergence: DGL's default norm='both' applies D^-1/2 A D^-1/2 using the
+    block's degrees, but sampled blocks give every src node out-degree ~1,
+    collapsing the src-side factor to a constant — under fanout sampling the
+    right-norm mean is the standard, well-defined estimator (it is also what
+    SAGEConv uses). Degrees are the block's *sampled* in-degrees;
+    zero-in-degree destinations aggregate to zero rather than erroring."""
 
     features: int
     dtype: Any = jnp.float32
@@ -74,7 +89,7 @@ class GraphConv(nn.Module):
     def __call__(self, block: DeviceBlock, x: jax.Array) -> jax.Array:
         deg = block.mask.sum(axis=1)                       # sampled in-degree
         norm = jnp.where(deg > 0, 1.0 / deg, 0.0)
-        agg = padded_gather_sum(x, block.adj, block.mask * norm[:, None])
+        agg = agg_sum(x, block.adj, block.mask * norm[:, None])
         return nn.Dense(self.features, dtype=self.dtype, name="fc")(agg)
 
 
@@ -104,15 +119,18 @@ class GATConv(nn.Module):
         er = jnp.einsum("nhf,hf->nh", feat[: block.cap_dst], attn_r)
 
         # e[i,k,h] = leaky_relu(el[adj[i,k],h] + er[i,h]); masked softmax over k.
-        e = el[block.adj] + er[:, None, :]                 # [n_dst, fanout, H]
+        shape = (block.cap_dst, block.fanout)
+        e = neighbor_view(el, block.adj, shape) + er[:, None, :]
         e = nn.leaky_relu(e, negative_slope=self.negative_slope)
         neg_inf = jnp.asarray(-1e9, e.dtype)
         e = jnp.where(block.mask[:, :, None] > 0, e, neg_inf)
         alpha = jax.nn.softmax(e, axis=1)
         alpha = alpha * block.mask[:, :, None]             # all-masked rows -> 0
 
-        fanout = block.adj.shape[1]
+        if block.adj is None:                              # contiguous layout
+            nbr = neighbor_view(feat, None, shape)         # [n_dst, f, H, F]
+            return jnp.einsum("nkhf,nkh->nhf", nbr, alpha.astype(feat.dtype))
         out = jnp.zeros((block.cap_dst, H, F), dtype=feat.dtype)
-        for k in range(fanout):                            # static unroll
+        for k in range(block.fanout):                      # static unroll
             out = out + feat[block.adj[:, k]] * alpha[:, k, :, None]
         return out                                         # [n_dst, H, F]

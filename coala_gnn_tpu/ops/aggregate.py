@@ -8,16 +8,26 @@ small, static number of row gathers + fused multiply-adds — shapes are fully
 static, XLA fuses the weighting into the gather consumer, and nothing ragged
 ever reaches the device.
 
-Two formulations:
+Three formulations:
   - ``padded_gather_sum``: unrolled loop of ``fanout`` row-gathers of
     [n_dst, dim] each — avoids materializing the [n_dst, fanout, dim]
     neighbor tensor in HBM; the right default for feature dims >= 128.
   - ``padded_gather_sum_dense``: one gather producing [n_dst, fanout, dim]
     then a weighted reduce — better for small dims / when the 3-D tensor is
     needed anyway (GAT attention).
+  - **contiguous blocks** (``adj is None``): the device sampler's
+    ``dedup=False`` layout places the sampled neighbor of slot (i, k) at row
+    ``cap_dst + i*fanout + k`` of the layer input — a *static* arange. The
+    neighbor tensor is then a free ``reshape`` of a contiguous slice and the
+    weighted sum compiles to one streaming multiply-reduce at HBM bandwidth:
+    no random gather reaches the model at all (the only random access per
+    step is the cache lookup). This is the fast path the resident pipeline
+    rides; ``agg_sum``/``agg_mean``/``neighbor_view`` dispatch on it.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,3 +62,39 @@ def padded_mean(x_src: jax.Array, adj: jax.Array, mask: jax.Array) -> jax.Array:
     count = jnp.maximum(mask.sum(axis=1), 1.0)
     s = padded_gather_sum(x_src, adj, mask)
     return s / count[:, None].astype(s.dtype)
+
+
+# ---- block-aware dispatch (contiguous fast path) -------------------------
+
+def neighbor_view(x_src: jax.Array, adj: Optional[jax.Array],
+                  shape: tuple) -> jax.Array:
+    """[n_dst, fanout, *] neighbor tensor for a block.
+
+    shape = (cap_dst, fanout). ``adj is None`` marks the contiguous layout
+    (slot (i, k) at row cap_dst + i*fanout + k): a zero-cost reshape of a
+    slice. Otherwise one 3-D gather."""
+    cap_dst, fanout = shape
+    if adj is None:
+        sl = jax.lax.slice_in_dim(x_src, cap_dst, cap_dst + cap_dst * fanout)
+        return sl.reshape(cap_dst, fanout, *x_src.shape[1:])
+    return x_src[adj]
+
+
+def agg_sum(x_src: jax.Array, adj: Optional[jax.Array],
+            weights: jax.Array) -> jax.Array:
+    """Weighted neighbor sum; dispatches to the contiguous streaming path
+    when ``adj is None`` (see module docstring)."""
+    if adj is None:
+        nbr = neighbor_view(x_src, None, weights.shape)    # free reshape
+        return jnp.einsum("nfd,nf->nd", nbr, weights.astype(x_src.dtype))
+    return padded_gather_sum(x_src, adj, weights)
+
+
+def agg_mean(x_src: jax.Array, adj: Optional[jax.Array],
+             mask: jax.Array) -> jax.Array:
+    """Masked neighborhood mean with contiguous dispatch."""
+    if adj is None:
+        count = jnp.maximum(mask.sum(axis=1), 1.0)
+        s = agg_sum(x_src, None, mask)
+        return s / count[:, None].astype(s.dtype)
+    return padded_mean(x_src, adj, mask)

@@ -46,18 +46,51 @@ class ResidentTrainer:
     colors: Optional[np.ndarray] = None
     dedup: bool = False   # sort-based frontier dedup costs more than the
                           # gather redundancy it saves (see device_sampler)
+    direct: Optional[bool] = None  # None = auto: flat tier iff the cache
+                                   # capacity covers every node (see
+                                   # feature_cache "flat tier" notes)
 
     def __post_init__(self):
         self.g = to_device_graph(self.graph)
         self.labels_dev = jnp.asarray(self.labels.astype(np.int32))
         self.colors_dev = (jnp.asarray(self.colors.astype(np.int32))
                            if self.colors is not None else None)
-        self.cache = fc.init_colored_state(self.cache_cfg)
         cfg, B, fanouts = self.cache_cfg, self.batch_size, list(self.fanouts)
+        if self.direct is None:
+            self.direct = cfg.capacity >= self.graph.num_nodes
+        direct = self.direct
+        if direct:
+            self.cache = fc.flat_init(cfg, self.graph.num_nodes)
+        else:
+            self.cache = fc.init_colored_state(cfg)
         g, labels_dev, colors_dev = self.g, self.labels_dev, self.colors_dev
         model, tx = self.model, self.tx
 
         sentinel = self.g.num_nodes
+
+        # engine dispatch: flat (one gather, no eviction) vs associative
+        def eng_lookup(cache, ids, valid, count_stats=True, assume_hit=False):
+            if direct:
+                return fc.flat_lookup(cache, ids, valid,
+                                      count_stats=count_stats,
+                                      assume_hit=assume_hit)
+            base, feats, hit = fc.lookup(cfg, cache.base, ids, valid,
+                                         count_stats=count_stats)
+            return (fc.ColoredCacheState(base=base,
+                                         line_colors=cache.line_colors),
+                    feats, hit)
+
+        def eng_probe(cache, ids, valid):
+            if direct:
+                return fc.flat_probe(cache, ids, valid)
+            return fc.probe(cfg, cache.base, ids, valid)
+
+        def eng_insert(cache, ids, rows, valid, colors):
+            if direct:
+                return fc.flat_insert(cfg, cache, ids, rows, valid, colors)
+            return fc.insert_with_colors(cfg, cache, ids, rows, valid, colors)
+
+        self._eng_insert = eng_insert
 
         @jax.jit
         def stage_a(g, labels_dev, cache, seeds, key):
@@ -68,9 +101,7 @@ class ResidentTrainer:
             else:
                 valid = ids != sentinel
             safe = jnp.where(valid, ids, 0)
-            base, feats, hit = fc.lookup(cfg, cache.base, safe, valid)
-            cache = fc.ColoredCacheState(base=base,
-                                         line_colors=cache.line_colors)
+            cache, feats, hit = eng_lookup(cache, safe, valid)
             n_miss = (valid & ~hit).sum(dtype=jnp.int32)
             n_edges = sum(b.mask.sum() for b in blocks)
             y = labels_dev[seeds]
@@ -101,8 +132,8 @@ class ResidentTrainer:
             pos = jnp.where(positions >= 0, positions, feats.shape[0])
             feats = feats.at[pos].set(rows.astype(feats.dtype), mode="drop")
             miss_ids = jnp.where(positions >= 0, ids[jnp.clip(positions, 0)], 0)
-            cache = fc.insert_with_colors(cfg, cache, miss_ids, rows,
-                                          positions >= 0, colors_m)
+            cache = eng_insert(cache, miss_ids, rows, positions >= 0,
+                               colors_m)
             return cache, feats
 
         # ---- fused multi-step window: K steps per dispatch ---------------
@@ -113,32 +144,39 @@ class ResidentTrainer:
         # steps through the exact begin/resolve path (train_window does
         # this). At steady state (warm cache) the window never replays and
         # per-step dispatch overhead is divided by K.
+        # The window never mutates cache contents (lookups don't evict), so
+        # the cache stays OUT of the scan carry and the jit outputs: no
+        # multi-hundred-MB pass-through copy per window, and rollback
+        # snapshots stay trivially valid. Hit/miss stats come back as
+        # per-step counts and accumulate host-side (stats()).
         def window(g, labels_dev, cache, params, opt_state, seeds_grid, key):
             def body(carry, inp):
-                cache, params, opt_state = carry
+                params, opt_state = carry
                 seeds, k = inp
                 k1, k2 = jax.random.split(jax.random.wrap_key_data(k))
                 blocks, ids, num = sample_blocks_device(g, seeds, fanouts, B,
                                                         k1, dedup=False)
                 valid = ids != sentinel
-                base, feats, hit = fc.lookup(cfg, cache.base,
-                                             jnp.where(valid, ids, 0), valid)
-                cache = fc.ColoredCacheState(base=base,
-                                             line_colors=cache.line_colors)
-                n_miss = (valid & ~hit).sum(dtype=jnp.int32)
+                # direct tier: presample-prefetch + no-eviction make window
+                # misses impossible -> skip the residency gather entirely
+                _, feats, hit = eng_lookup(cache, jnp.where(valid, ids, 0),
+                                           valid, count_stats=False,
+                                           assume_hit=direct)
+                n_hit = hit.sum(dtype=jnp.int32)
+                n_miss = valid.sum(dtype=jnp.int32) - n_hit
                 y = labels_dev[seeds]
                 (loss, logits), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, k2, blocks, feats, y)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 n_edges = sum(b.mask.sum() for b in blocks)
-                return (cache, params, opt_state), (loss, n_miss, n_edges)
+                return (params, opt_state), (loss, n_miss, n_hit, n_edges)
 
             keys = jax.random.split(key, seeds_grid.shape[0])
-            (cache, params, opt_state), (losses, miss, edges) = jax.lax.scan(
-                body, (cache, params, opt_state),
+            (params, opt_state), (losses, miss, hits, edges) = jax.lax.scan(
+                body, (params, opt_state),
                 (seeds_grid, jax.random.key_data(keys)))
-            return cache, params, opt_state, losses, miss, edges
+            return params, opt_state, losses, miss, hits, edges
 
         self._window = jax.jit(window)
 
@@ -154,9 +192,7 @@ class ResidentTrainer:
                 _, ids, _ = sample_blocks_device(g, seeds, fanouts, B, k1,
                                                  dedup=False)
                 valid = ids != sentinel
-                _, _, hit = fc.lookup(cfg, cache.base,
-                                      jnp.where(valid, ids, 0), valid,
-                                      count_stats=False)
+                hit = eng_probe(cache, jnp.where(valid, ids, 0), valid)
                 miss_ids = jnp.where(valid & ~hit, ids, -1)
                 return 0, miss_ids
 
@@ -167,9 +203,8 @@ class ResidentTrainer:
         self._presample = jax.jit(presample)
 
         def insert_rows(cache, ids_d, rows, colors_d):
-            return fc.insert_with_colors(cfg, cache, jnp.where(ids_d >= 0,
-                                                               ids_d, 0),
-                                         rows, ids_d >= 0, colors_d)
+            return eng_insert(cache, jnp.where(ids_d >= 0, ids_d, 0),
+                              rows, ids_d >= 0, colors_d)
 
         self._insert_rows = {}
         self._insert_rows_fn = insert_rows
@@ -250,16 +285,10 @@ class ResidentTrainer:
             self.cache, jnp.asarray(ids_p), jnp.asarray(rows),
             jnp.asarray(colors_d))
 
-    def train_window(self, params, opt_state, seeds_grid: np.ndarray, key):
-        """K fused steps in one dispatch. seeds_grid int32 [K, B].
-
-        Returns (params', opt_state', losses [K], edges [K]). The window is
-        presampled and its misses prefetched first, so the fused pass is
-        guaranteed to hit; the rollback-replay path remains as a safety net
-        (it can only trigger if the prefetch insert itself evicted a line
-        another step needed — possible only under extreme set pressure)."""
-        import jax
-
+    def _dispatch_window(self, params, opt_state, seeds_grid, key):
+        """Upload seeds, prefetch misses (unless full coverage) and dispatch
+        one fused window. Returns (params', opt', losses, miss, hits, edges)
+        with the miss array's transfer already streaming host-ward."""
         seeds_dev = jnp.asarray(np.ascontiguousarray(seeds_grid, np.int32))
         if not self.full_coverage:
             # full coverage -> every probe hits by construction; skip the
@@ -267,15 +296,16 @@ class ResidentTrainer:
             keys_data = jax.random.key_data(
                 jax.random.split(key, seeds_grid.shape[0]))
             self._prefetch_window(seeds_dev, keys_data)
-        cache0, params0, opt0 = self.cache, params, opt_state
-        self.cache, params, opt_state, losses, miss, edges = self._window(
-            self.g, self.labels_dev, self.cache, params, opt_state,
-            seeds_dev, key)
-        if int(np.asarray(miss).sum()) == 0:
-            return params, opt_state, losses, edges
+        out = self._window(self.g, self.labels_dev, self.cache, params,
+                           opt_state, seeds_dev, key)
+        try:
+            out[3].copy_to_host_async()
+        except Exception:
+            pass
+        return out
 
-        # precise replay: roll back and run each step with miss repair
-        self.cache, params, opt_state = cache0, params0, opt0
+    def _replay_window(self, params, opt_state, seeds_grid, key):
+        """Precise per-step replay with miss repair (the safety net)."""
         out_losses, out_edges = [], []
         for i in range(seeds_grid.shape[0]):
             key, k1, k2 = jax.random.split(key, 3)
@@ -286,22 +316,92 @@ class ResidentTrainer:
             out_edges.append(sum(b.mask.sum() for b in resolved[0]))
         return params, opt_state, jnp.stack(out_losses), jnp.stack(out_edges)
 
+    def _count_window(self, miss, hits) -> int:
+        """Fold a window's per-step counters into the stats accumulators;
+        returns the window's total miss count."""
+        m = int(np.asarray(miss).sum())
+        self.hits += int(np.asarray(hits).sum())
+        self.misses += m
+        return m
+
+    def train_window(self, params, opt_state, seeds_grid: np.ndarray, key):
+        """K fused steps in one dispatch. seeds_grid int32 [K, B].
+
+        Returns (params', opt_state', losses [K], edges [K]). The window is
+        presampled and its misses prefetched first, so the fused pass is
+        guaranteed to hit; the rollback-replay path remains as a safety net
+        (it can only trigger if the prefetch insert itself evicted a line
+        another step needed — possible only under extreme set pressure)."""
+        params0, opt0 = params, opt_state
+        params, opt_state, losses, miss, hits, edges = self._dispatch_window(
+            params, opt_state, seeds_grid, key)
+        if self._count_window(miss, hits) == 0:
+            return params, opt_state, losses, edges
+        # precise replay: roll back and run each step with miss repair
+        return self._replay_window(params0, opt0, seeds_grid, key)
+
+    def train_windows(self, params, opt_state, seeds_grids: np.ndarray, key):
+        """M pipelined fused windows. seeds_grids int32 [M, K, B].
+
+        The miss check for window w is deferred until window w+1 has been
+        dispatched, so the device->host round trip overlaps the next
+        window's compute — the host never blocks on an in-flight window at
+        steady state (the TPU-side analog of the reference scheduler's
+        one-iteration-ahead pipeline, COALA_GNN_DataLoader.py:31-68).
+        Returns (params', opt_state', losses [M*K], edges [M*K])."""
+        M = seeds_grids.shape[0]
+        keys = list(jax.random.split(key, M))
+        losses_out: list = [None] * M
+        edges_out: list = [None] * M
+        pending = None   # (w, snapshot, losses, miss, hits, edges)
+        w = 0
+        while w < M:
+            snap = (params, opt_state)
+            params, opt_state, losses, miss, hits, edges = \
+                self._dispatch_window(params, opt_state, seeds_grids[w],
+                                      keys[w])
+            if pending is not None:
+                pw, psnap, plosses, pmiss, phits, pedges = pending
+                if self._count_window(pmiss, phits) == 0:
+                    losses_out[pw], edges_out[pw] = plosses, pedges
+                    pending = (w, snap, losses, miss, hits, edges)
+                    w += 1
+                else:
+                    # window pw missed: discard it AND the just-dispatched
+                    # window (it consumed post-miss state), replay pw
+                    # per-step, then resume from pw+1.
+                    params, opt_state = psnap
+                    params, opt_state, plosses, pedges = self._replay_window(
+                        params, opt_state, seeds_grids[pw], keys[pw])
+                    losses_out[pw], edges_out[pw] = plosses, pedges
+                    pending = None
+                    w = pw + 1
+            else:
+                pending = (w, snap, losses, miss, hits, edges)
+                w += 1
+        if pending is not None:
+            pw, psnap, plosses, pmiss, phits, pedges = pending
+            if self._count_window(pmiss, phits) == 0:
+                losses_out[pw], edges_out[pw] = plosses, pedges
+            else:
+                params, opt_state = psnap
+                params, opt_state, plosses, pedges = self._replay_window(
+                    params, opt_state, seeds_grids[pw], keys[pw])
+                losses_out[pw], edges_out[pw] = plosses, pedges
+        return (params, opt_state, jnp.concatenate(losses_out),
+                jnp.concatenate(edges_out))
+
     def eval_step(self, params, resolved) -> int:
         blocks, feats, y = resolved
         return int(self._eval_b(params, blocks, feats, y))
 
     def prewarm(self, ids: np.ndarray, chunk: int = 65536) -> None:
         cfg = self.cache_cfg
-        ids_arr = np.unique(np.asarray(ids, np.int32))
-        self.full_coverage = (cfg.capacity >= self.graph.num_nodes
-                              and ids_arr.size >= self.graph.num_nodes)
-
-        @jax.jit
-        def insert(cache, ids_d, rows, colors_d):
-            return fc.insert_with_colors(cfg, cache, ids_d, rows,
-                                         ids_d >= 0, colors_d)
-
         ids = np.unique(np.asarray(ids, np.int32))
+        self.full_coverage = (cfg.capacity >= self.graph.num_nodes
+                              and ids.size >= self.graph.num_nodes)
+
+        insert = jax.jit(self._insert_rows_fn)
         for lo in range(0, len(ids), chunk):
             part = ids[lo:lo + chunk]
             grid = np.full(chunk, -1, np.int32)
@@ -314,14 +414,28 @@ class ResidentTrainer:
             self.cache = insert(self.cache, jnp.asarray(grid),
                                 jnp.asarray(rows), jnp.asarray(colors_d))
         # reset stats counters accumulated during prewarm
-        self.cache = fc.ColoredCacheState(
-            base=self.cache.base._replace(
-                hits=jnp.zeros((), jnp.int32),
-                misses=jnp.zeros((), jnp.int32)),
-            line_colors=self.cache.line_colors)
+        self.cache = self._reset_counters(self.cache)
+        self.hits = self.misses = 0
+
+    @staticmethod
+    def _reset_counters(cache):
+        zero = jnp.zeros((), jnp.int32)
+        if isinstance(cache, fc.FlatState):
+            return cache._replace(hits=zero, misses=zero)
+        return fc.ColoredCacheState(
+            base=cache.base._replace(hits=zero, misses=zero),
+            line_colors=cache.line_colors)
 
     def stats(self) -> dict:
-        base, s = fc.stats(self.cache.base)
-        self.cache = fc.ColoredCacheState(base=base,
-                                          line_colors=self.cache.line_colors)
-        return s
+        """Device counters (per-step path) + host accumulators (fused
+        windows), reset on read (reference parity: nvshmem_cache.h:133-142)."""
+        if isinstance(self.cache, fc.FlatState):
+            h, m = int(self.cache.hits), int(self.cache.misses)
+        else:
+            h, m = int(self.cache.base.hits), int(self.cache.base.misses)
+        self.cache = self._reset_counters(self.cache)
+        h += self.hits
+        m += self.misses
+        self.hits = self.misses = 0
+        return {"hits": h, "misses": m,
+                "hit_ratio": h / (h + m) if (h + m) else 0.0}

@@ -155,10 +155,10 @@ def sample_blocks_device(g: DeviceGraph, seeds: jax.Array,
             adj = local[cap_dst:].reshape(cap_dst, fanout)
             ids, dst, num_dst = uniq, uniq, num
         else:
-            # static local indexing: slot (i, k) lives at cap_dst + i*F + k
-            adj = (cap_dst
-                   + jnp.arange(cap_dst * fanout, dtype=jnp.int32)
-                   .reshape(cap_dst, fanout))
+            # static local indexing: slot (i, k) lives at cap_dst + i*F + k.
+            # adj=None marks this contiguous layout — consumers reshape
+            # instead of gathering (ops/aggregate.neighbor_view).
+            adj = None
             ids = cat
             valid_dst = cat != sentinel
             num = valid_dst.sum(dtype=jnp.int32)

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Micro-profile of on-device sampling internals (what's inside the
+1.3 ms/step the window profiler attributes to sampling).
+
+Variants isolate: threefry RNG, indptr degree reads, the indices element
+gather, and block assembly. All grids/keys pregenerated; K-step scans inside
+one jit; chained deps; final readback (docs/DESIGN.md §6)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from coala_gnn_tpu.utils.jaxconfig import setup as jax_setup
+
+jax_setup()
+
+import jax
+import jax.numpy as jnp
+
+from coala_gnn_tpu.graph.datasets import synthetic_graph
+from coala_gnn_tpu.sampling.device_sampler import to_device_graph
+from coala_gnn_tpu.sampling.neighbor import block_capacities
+
+B = int(os.environ.get("BENCH_BATCH", 1024))
+FANOUTS = [int(f) for f in os.environ.get("BENCH_FANOUT", "10,5").split(",")]
+NODES = int(os.environ.get("BENCH_NODES", 200_000))
+K = 8
+N_WINDOWS = 12
+
+
+def main():
+    print(f"devices={jax.devices()}", flush=True)
+    ds = synthetic_graph(num_nodes=NODES, avg_degree=15, feature_dim=8,
+                         num_classes=4, seed=0)
+    g = to_device_graph(ds.graph)
+    sentinel = g.num_nodes
+    caps = block_capacities(B, FANOUTS)
+    rng = np.random.default_rng(0)
+
+    def sample_variant(g, dst, fanout, key, mode):
+        n = dst.shape[0]
+        k = jnp.arange(fanout, dtype=jnp.int32)[None, :]
+        if mode == "no_indptr":
+            starts = dst.astype(jnp.int32) * 0
+            deg = jnp.full((n,), fanout, jnp.int32)
+        else:
+            starts = g.indptr[dst]
+            deg = g.indptr[dst + 1] - starts
+        mask = k < jnp.minimum(deg, fanout)[:, None]
+        if mode == "no_rng":
+            rand_off = jnp.zeros((n, fanout), jnp.int32)
+        elif mode == "bits_mod":
+            bits = jax.random.bits(key, (n, fanout), jnp.uint32)
+            rand_off = (bits % jnp.maximum(deg, 1)[:, None]
+                        .astype(jnp.uint32)).astype(jnp.int32)
+        else:
+            rand = jax.random.uniform(key, (n, fanout))
+            rand_off = (rand * jnp.maximum(deg, 1)[:, None]).astype(jnp.int32)
+        seq_off = jnp.minimum(k, jnp.maximum(deg[:, None] - 1, 0))
+        offsets = jnp.where(deg[:, None] <= fanout, seq_off, rand_off)
+        if mode == "no_gather":
+            nbr = dst[:, None] + offsets
+        else:
+            nbr = g.indices[starts[:, None] + offsets]
+        nbr = jnp.where(mask, nbr, dst[:, None])
+        return nbr, mask.astype(jnp.float32)
+
+    def make_fn(mode):
+        def one(seeds, key):
+            dst = seeds.astype(jnp.int32)
+            total = jnp.float32(0)
+            for layer in range(len(FANOUTS) - 1, -1, -1):
+                fanout = FANOUTS[layer]
+                cap_dst = caps[layer][0]
+                pad = cap_dst - dst.shape[0]
+                if pad:
+                    dst = jnp.concatenate(
+                        [dst, jnp.full(pad, sentinel, jnp.int32)])
+                key, sub = jax.random.split(key)
+                nbr, mask = sample_variant(g, dst, fanout, sub, mode)
+                cat = jnp.concatenate([dst, nbr.reshape(-1)])
+                total = total + mask.sum()
+                dst = cat
+            return dst, total
+
+        def window(seeds_grid, keys):
+            def body(carry, inp):
+                seeds, kd = inp
+                ids, tot = one(seeds, jax.random.wrap_key_data(kd))
+                return carry + tot + ids.sum().astype(jnp.float32) * 1e-9, tot
+            return jax.lax.scan(body, jnp.float32(0), (seeds_grid, keys))
+
+        return jax.jit(window)
+
+    grids = [jnp.asarray(rng.choice(ds.train_idx, (K, B)).astype(np.int32))
+             for _ in range(N_WINDOWS)]
+    keysets = [jax.random.key_data(jax.random.split(jax.random.key(w), K))
+               for w in range(N_WINDOWS)]
+
+    for mode in ("full", "bits_mod", "no_rng", "no_gather", "no_indptr"):
+        fn = make_fn(mode)
+        out = None
+        t0 = None
+        for w in range(N_WINDOWS):
+            out, _ = fn(grids[w], keysets[w])
+            if w == 1:
+                float(out)
+                t0 = time.perf_counter()
+        float(out)
+        dt = time.perf_counter() - t0
+        print(f"{mode:12s}: {dt / ((N_WINDOWS - 2) * K) * 1e3:6.3f} ms/step",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -135,3 +135,50 @@ def test_host_tier_gather_and_async(rng):
     np.testing.assert_array_equal(out[2], 0)
     fut = store.fetch_async(ids)
     np.testing.assert_allclose(fut.result(), out)
+
+
+def test_refresh_clobbered_by_new_arrival_is_consistent(rng):
+    """A same-batch (refresh, new-insert) pair targeting one (set, way) must
+    resolve to ONE writer: the new line wins, the refreshed id is evicted,
+    and tags/data never diverge (ADVICE r1: duplicate scatter indices)."""
+    cfg = fc.CacheConfig(num_sets=1, ways=2, dim=4, cache_dim=128,
+                         num_colors=4)
+    st = fc.init_colored_state(cfg)
+    feats = np.arange(5 * 4, dtype=np.float32).reshape(5, 4) + 1
+
+    def ins(st, ids, colors):
+        ids = np.asarray(ids, np.int32)
+        return fc.insert_with_colors(
+            cfg, st, jnp.asarray(ids), jnp.asarray(feats[ids]),
+            jnp.ones(len(ids), bool), jnp.asarray(colors, dtype=jnp.int32))
+
+    st = ins(st, [0], [1])                     # id 0 -> way 0, rr -> 1
+    # batch: refresh id 0 (way 0) + new ids 1, 2 (ways 1, 0): id 2's claim
+    # of way 0 collides with the refresh of id 0 -> id 0 must be evicted.
+    st = ins(st, [0, 1, 2], [1, 2, 3])
+    tags = np.asarray(st.base.tags)[0]
+    data = np.asarray(st.base.data)[0, :, :4]
+    assert set(tags.tolist()) == {1, 2}
+    for w in range(2):
+        np.testing.assert_allclose(data[w], feats[tags[w]],
+                                   err_msg=f"way {w} tag/data diverged")
+    # color occupancy: id 0 (color 1) evicted; ids 1, 2 present
+    cc = np.asarray(st.base.color_counts)
+    assert cc[1] == 0 and cc[2] == 1 and cc[3] == 1
+
+
+def test_insert_overflowing_set_keeps_first_ways_ranks(rng):
+    """More new arrivals than ways in one batch: only `ways` survive and no
+    (set, way) slot is written twice."""
+    cfg = fc.CacheConfig(num_sets=1, ways=2, dim=4, cache_dim=128,
+                         num_colors=0)
+    st = fc.init_state(cfg)
+    ids = np.arange(5, dtype=np.int32)
+    feats = rng.normal(size=(5, 4)).astype(np.float32)
+    st = fc.insert(cfg, st, jnp.asarray(ids), jnp.asarray(feats),
+                   jnp.ones(5, bool))
+    tags = np.asarray(st.tags)[0]
+    data = np.asarray(st.data)[0, :, :4]
+    assert (tags >= 0).all() and len(set(tags.tolist())) == 2
+    for w in range(2):
+        np.testing.assert_allclose(data[w], feats[tags[w]])

@@ -2,6 +2,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from coala_gnn_tpu.ops.aggregate import (
+    agg_mean,
+    agg_sum,
+    neighbor_view,
     padded_gather_sum,
     padded_gather_sum_dense,
     padded_mean,
@@ -30,6 +33,60 @@ def test_padded_mean_masked(rng):
     np.testing.assert_allclose(out[0], (x[0] + x[1]) / 2, rtol=1e-6)
     # fully-masked row (isolated node) -> zeros
     np.testing.assert_allclose(out[1], np.zeros(4), atol=0)
+
+
+def test_contiguous_agg_matches_gather(rng):
+    """adj=None (the device sampler's dedup=False layout) must equal the
+    explicit arange adjacency through every aggregate entry point."""
+    cap_dst, fanout, dim = 12, 5, 8
+    n_src = cap_dst + cap_dst * fanout
+    x = rng.normal(size=(n_src, dim)).astype(np.float32)
+    adj = (cap_dst + np.arange(cap_dst * fanout, dtype=np.int32)
+           .reshape(cap_dst, fanout))
+    w = rng.normal(size=(cap_dst, fanout)).astype(np.float32)
+    mask = (rng.random((cap_dst, fanout)) < 0.7).astype(np.float32)
+
+    xj, adjj = jnp.asarray(x), jnp.asarray(adj)
+    np.testing.assert_allclose(
+        np.asarray(agg_sum(xj, None, jnp.asarray(w))),
+        np.asarray(padded_gather_sum(xj, adjj, jnp.asarray(w))),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(agg_mean(xj, None, jnp.asarray(mask))),
+        np.asarray(padded_mean(xj, adjj, jnp.asarray(mask))),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(neighbor_view(xj, None, (cap_dst, fanout))),
+        x[adj])
+
+
+def test_contiguous_blocks_model_equivalence(rng):
+    """A model applied to contiguous (adj=None) blocks must match the same
+    model applied to the equivalent explicit-adjacency blocks."""
+    import jax
+    from coala_gnn_tpu.models import make_model
+    from coala_gnn_tpu.models.layers import DeviceBlock
+
+    B, fanouts, dim = 8, [4, 3], 6
+    caps = [(B * (fanouts[1] + 1), fanouts[0]), (B, fanouts[1])]
+    blocks_c, blocks_g = [], []
+    n_src0 = caps[0][0] * (fanouts[0] + 1)
+    for cap_dst, f in caps:
+        mask = (rng.random((cap_dst, f)) < 0.8).astype(np.float32)
+        adj = (cap_dst + np.arange(cap_dst * f, dtype=np.int32)
+               .reshape(cap_dst, f))
+        blocks_c.append(DeviceBlock(adj=None, mask=jnp.asarray(mask)))
+        blocks_g.append(DeviceBlock(adj=jnp.asarray(adj),
+                                    mask=jnp.asarray(mask)))
+    x = jnp.asarray(rng.normal(size=(n_src0, dim)).astype(np.float32))
+    for mt in ("sage", "gcn", "gat"):
+        model = make_model(mt, hidden=16, num_classes=5, num_layers=2,
+                           dropout=0.0)
+        params = model.init(jax.random.key(0), blocks_g, x)
+        out_g = model.apply(params, blocks_g, x)
+        out_c = model.apply(params, blocks_c, x)
+        np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_g),
+                                   rtol=2e-5, atol=2e-5, err_msg=mt)
 
 
 def test_spmm_coo(rng):

@@ -24,7 +24,8 @@ def setup():
                        dropout=0.0)
     rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
                          labels=ds.labels, cache_cfg=cfg, model=model,
-                         tx=optax.adam(1e-2), fanouts=[5, 4], batch_size=32)
+                         tx=optax.adam(1e-2), fanouts=[5, 4], batch_size=32,
+                         direct=False)   # exercise the associative engine
     return ds, store, rt, model
 
 
@@ -112,6 +113,124 @@ def test_fused_window_trains(setup):
     assert last < first        # learning across fused windows
 
 
+def test_direct_tier_features_exact_and_matches_associative(setup):
+    """The auto-selected flat tier (capacity >= nodes) must (a) resolve
+    exact features through the per-step miss path and (b) produce EXACTLY
+    the fused-window losses of the associative engine given the same seeds,
+    keys and prewarm."""
+    ds, store, _, _ = setup
+    cfg = fc.CacheConfig(num_sets=128, ways=fc.WAYS, dim=32,
+                         cache_dim=fc.round_cache_dim(32), num_colors=0)
+    model = make_model("sage", hidden=32, num_classes=8, num_layers=2,
+                       dropout=0.0)
+
+    def mk(direct):
+        return ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                               labels=ds.labels, cache_cfg=cfg, model=model,
+                               tx=optax.adam(1e-2), fanouts=[5, 4],
+                               batch_size=32, direct=direct)
+
+    rt_d = mk(None)            # auto: capacity 4096 >= 3000 -> flat
+    assert rt_d.direct
+    rng = np.random.default_rng(17)
+    # (a) per-step exactness on a cold flat store (miss path + admission)
+    for trial in range(3):
+        seeds = rng.choice(ds.train_idx, 32, replace=False)
+        h = rt_d.begin(seeds, jax.random.key(trial))
+        blocks, feats, y = rt_d.resolve(h)
+        ids, valid = np.asarray(h[1]), np.asarray(h[2])
+        np.testing.assert_allclose(np.asarray(feats)[valid],
+                                   ds.features[ids[valid]], rtol=1e-6)
+
+    # (b) fused-window equivalence vs the associative engine
+    grids = np.stack([
+        np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                  for _ in range(4)]) for _ in range(2)]).astype(np.int32)
+
+    def run(rt):
+        rt.prewarm(np.arange(ds.graph.num_nodes))
+        resolved = rt.resolve(rt.begin(grids[0, 0], jax.random.key(0)))
+        params = model.init(jax.random.key(0), resolved[0], resolved[1])
+        opt = rt.tx.init(params)
+        _, _, losses, _ = rt.train_windows(params, opt, grids,
+                                           jax.random.key(5))
+        return np.asarray(losses)
+
+    l_direct = run(mk(True))
+    l_assoc = run(mk(False))
+    np.testing.assert_allclose(l_direct, l_assoc, rtol=1e-5, atol=1e-6)
+
+
+def test_train_windows_pipelined_matches_sequential(setup):
+    """train_windows (deferred miss checks) must produce exactly the same
+    losses as the equivalent sequence of train_window calls."""
+    ds, store, rt, model = setup
+    rt.prewarm(np.arange(ds.graph.num_nodes))
+    rng = np.random.default_rng(6)
+    M, K = 3, 4
+    grids = np.stack([
+        np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                  for _ in range(K)])
+        for _ in range(M)]).astype(np.int32)
+    resolved = rt.resolve(rt.begin(grids[0, 0], jax.random.key(0)))
+    params = model.init(jax.random.key(0), resolved[0], resolved[1])
+    opt = rt.tx.init(params)
+
+    key = jax.random.key(11)
+    p1, o1, losses1, edges1 = rt.train_windows(params, opt, grids, key)
+    losses1 = np.asarray(losses1)
+    assert losses1.shape == (M * K,)
+
+    p2, o2 = params, opt
+    seq = []
+    for w, sub in enumerate(jax.random.split(key, M)):
+        p2, o2, lw, _ = rt.train_window(p2, o2, grids[w], sub)
+        seq.append(np.asarray(lw))
+    np.testing.assert_allclose(losses1, np.concatenate(seq), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), p1, p2)
+
+
+def test_train_windows_replay_on_miss(setup):
+    """Force the deferred-check rollback: full_coverage=True on a cold cache
+    makes every window miss, so train_windows must discard the speculative
+    windows and replay each one per-step with exact features."""
+    import optax
+
+    ds, store, _, model4 = setup
+    cfg = fc.CacheConfig(num_sets=128, ways=fc.WAYS, dim=32,
+                         cache_dim=fc.round_cache_dim(32), num_colors=0)
+    model = make_model("sage", hidden=16, num_classes=8, num_layers=2,
+                       dropout=0.0)
+    rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                         labels=ds.labels, cache_cfg=cfg, model=model,
+                         tx=optax.adam(1e-2), fanouts=[5, 4], batch_size=32,
+                         direct=False)   # the replay net is associative-only
+    rt.full_coverage = True    # lie: skip presample-prefetch -> cold misses
+    rng = np.random.default_rng(7)
+    M, K = 2, 3
+    grids = np.stack([
+        np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                  for _ in range(K)])
+        for _ in range(M)]).astype(np.int32)
+    resolved = rt.resolve(rt.begin(grids[0, 0], jax.random.key(0)))
+    params = model.init(jax.random.key(0), resolved[0], resolved[1])
+    opt = rt.tx.init(params)
+    rt.stats()
+    params, opt, losses, edges = rt.train_windows(params, opt, grids,
+                                                  jax.random.key(3))
+    losses = np.asarray(losses)
+    assert losses.shape == (M * K,)
+    assert np.isfinite(losses).all()
+    s = rt.stats()
+    assert s["misses"] > 0     # the speculative windows did miss
+    # the replay admitted rows: a rerun over the same grids now hits
+    rt.stats()
+    params, opt, losses2, _ = rt.train_windows(params, opt, grids,
+                                               jax.random.key(4))
+    assert rt.stats()["hit_ratio"] > 0.9
+
+
 def test_fused_window_cold_cache_prefetches(setup):
     """A cold cache triggers the presample-prefetch: the window still runs
     fused (no replay misses), and the prefetched ids become residents."""
@@ -148,7 +267,11 @@ def test_fused_window_cold_cache_prefetches(setup):
     # fused pass hit everything (prefetch guaranteed it) — no window misses
     assert s["misses"] == 0
     assert s["hits"] > 0
-    assert int(np.asarray((rt.cache.base.tags >= 0).sum())) > 0
+    # the prefetched ids became residents (auto-selected flat tier here:
+    # capacity covers the graph)
+    from coala_gnn_tpu.cache import feature_cache as fcache
+    assert isinstance(rt.cache, fcache.FlatState)
+    assert int(np.asarray(rt.cache.admitted.sum())) > 0
 
     # determinism: a de-novo run from the same state + key matches exactly
     rt2 = mk()
