@@ -27,7 +27,10 @@ def initialize_distributed(coordinator: Optional[str] = None,
     """jax.distributed bootstrap. No-op when single-process. Arguments fall
     back to COALA_COORDINATOR / COALA_NUM_PROCS / COALA_PROC_ID env vars
     (the SLURM-free analogue of the reference's MASTER_ADDR/PORT +
-    SLURM_NODEID wiring, 4GB_script.sh:19-20, sbatch:249-250)."""
+    SLURM_NODEID wiring, 4GB_script.sh:19-20, sbatch:249-250).
+
+    On the CPU backend, cross-process collectives need the gloo
+    implementation (COALA_CPU_COLLECTIVES overrides)."""
     import jax
 
     coordinator = coordinator or os.environ.get("COALA_COORDINATOR")
@@ -36,9 +39,54 @@ def initialize_distributed(coordinator: Optional[str] = None,
     num_processes = num_processes or int(os.environ.get("COALA_NUM_PROCS", 1))
     process_id = process_id if process_id is not None else \
         int(os.environ.get("COALA_PROC_ID", 0))
+    impl = os.environ.get("COALA_CPU_COLLECTIVES", "gloo")
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", impl)
+    except Exception:
+        pass   # older jax or non-CPU backend: the flag may not exist
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
+
+
+def put_local(mesh, spec, local_np):
+    """Place per-process-local host data onto a (possibly multi-process)
+    mesh sharding.
+
+    Single-process: plain device_put. Multi-process: the array is this
+    process's slice of the global array (e.g. [n_local_dev, ...] of a
+    [n_global_dev, ...] P('data', ...) array) — assembled with
+    jax.make_array_from_process_local_data. This is the correct multi-host
+    placement ADVICE r1 flagged: device_put of host-local data with a
+    global-mesh NamedSharding is wrong when hosts hold different values."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(local_np, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_np)
+
+
+def read_replicated(arr) -> np.ndarray:
+    """Host value of a fully-replicated global array (every process reads
+    its own addressable copy; no cross-process transfer)."""
+    shard = arr.addressable_shards[0]
+    return np.asarray(shard.data)
+
+
+def read_local_shards(arr) -> "tuple[list, np.ndarray]":
+    """(global row indices, stacked rows) of this process's shards of a
+    P('data', ...)-sharded array whose leading axis is the device axis."""
+    idxs, datas = [], []
+    for shard in arr.addressable_shards:
+        sl = shard.index[0]
+        start = sl.start or 0
+        data = np.asarray(shard.data)
+        for i in range(data.shape[0]):
+            idxs.append(start + i)
+            datas.append(data[i])
+    return idxs, np.stack(datas) if datas else np.empty((0,))
 
 
 def topology():

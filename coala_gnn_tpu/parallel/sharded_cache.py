@@ -77,22 +77,27 @@ def _from_local(c: fc.ColoredCacheState) -> ShardedCacheState:
 
 
 def init_sharded_state(cfg: fc.CacheConfig, mesh: Mesh) -> ShardedCacheState:
-    """Build the global state sharded over the mesh data axis."""
-    n = mesh.devices.size
-    shard1 = NamedSharding(mesh, P(DATA_AXIS))
+    """Build the global state sharded over the mesh data axis (each process
+    materializes only its local devices' shards)."""
+    from coala_gnn_tpu.parallel.multihost import put_local
 
-    def mk(shape, dtype, fill=0):
-        arr = jnp.full((n,) + shape, fill, dtype=dtype)
-        return jax.device_put(arr, NamedSharding(mesh, P(DATA_AXIS, *[None] * len(shape))))
+    n_local = len([d for d in mesh.devices.flat
+                   if d.process_index == jax.process_index()])
 
+    def mk(shape, np_dtype, fill=0):
+        arr = np.full((n_local,) + shape, fill, dtype=np_dtype)
+        return put_local(mesh, P(DATA_AXIS, *[None] * len(shape)), arr)
+
+    np_data = (ml_dtypes.bfloat16 if cfg.dtype == jnp.bfloat16
+               else np.dtype(cfg.dtype))
     return ShardedCacheState(
-        tags=mk((cfg.num_sets, cfg.ways), jnp.int32, -1),
-        data=mk((cfg.num_sets, cfg.ways, cfg.cache_dim), cfg.dtype),
-        rr=mk((cfg.num_sets,), jnp.int32),
-        line_colors=mk((cfg.num_sets, cfg.ways), jnp.int32),
-        color_counts=mk((cfg.num_colors + 1,), jnp.int32),
-        hits=jax.device_put(jnp.zeros(n, jnp.int32), shard1),
-        misses=jax.device_put(jnp.zeros(n, jnp.int32), shard1),
+        tags=mk((cfg.num_sets, cfg.ways), np.int32, -1),
+        data=mk((cfg.num_sets, cfg.ways, cfg.cache_dim), np_data),
+        rr=mk((cfg.num_sets,), np.int32),
+        line_colors=mk((cfg.num_sets, cfg.ways), np.int32),
+        color_counts=mk((cfg.num_colors + 1,), np.int32),
+        hits=mk((), np.int32),
+        misses=mk((), np.int32),
     )
 
 
@@ -162,15 +167,21 @@ def exchange_lookup(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
 
 def exchange_probe(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
                    local: fc.ColoredCacheState, ids: jax.Array,
-                   valid: jax.Array) -> jax.Array:
+                   valid: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Residency check across the mesh: route ids to owners, compare tags,
     route hit bits back. No feature movement, no state change — the cheap
-    prefetch-planning half of exchange_lookup. Returns hit bool [n_req]
-    (bucket-overflow slots report as misses, matching the lookup path)."""
+    prefetch-planning half of exchange_lookup.
+
+    Returns (hit, overflow) bool [n_req]. Overflow slots (requests beyond
+    their (src, owner) bucket's capacity) are reported SEPARATELY from
+    residency misses: insertion at the owner cannot repair them — they need
+    a host-side row merged into the consuming step instead (the same
+    fallback the per-step path uses)."""
     n_req = ids.shape[0]
     ids = jnp.where(valid, ids, 0)
     if n_dev == 1:
-        return fc.probe(cfg, local.base, ids, valid)
+        return (fc.probe(cfg, local.base, ids, valid),
+                jnp.zeros((n_req,), jnp.bool_))
     c = bucket_cap
     owner, rank = _owner_rank(ids, valid, n_dev)
     routed = rank < c
@@ -185,7 +196,8 @@ def exchange_probe(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
                                   split_axis=0, concat_axis=0, tiled=True)
     g_owner = jnp.where(routed, owner, 0)
     g_rank = jnp.where(routed, rank, 0)
-    return hit_back[g_owner, g_rank] & routed & valid
+    return (hit_back[g_owner, g_rank] & routed & valid,
+            ~routed & valid)
 
 
 def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
@@ -196,7 +208,12 @@ def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
 
     With packed_n_req > 0, ``ids`` is a full request buffer
     [1 + n_req + ...] whose prefix holds [num_input | input_ids] (see
-    data/packing.pack_request) and ``num_valid`` is ignored."""
+    data/packing.pack_request) and ``num_valid`` is ignored.
+
+    Returns, besides the per-device outputs, two REPLICATED scalars
+    (global total miss count, global per-device max miss count) so every
+    process takes the same miss-path decision and compiles the same
+    fill-kernel shapes — the multi-host coherence contract."""
     if packed_n_req > 0:
         buf = ids[0]
         num_valid = buf[0]
@@ -210,8 +227,10 @@ def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
     local, out, out_hit, overflow = exchange_lookup(
         cfg, bucket_cap, n_dev, local, ids, valid)
     n_miss = (valid & (~out_hit | overflow)).sum(dtype=jnp.int32)
+    total_miss = jax.lax.psum(n_miss, DATA_AXIS)
+    max_miss = jax.lax.pmax(n_miss, DATA_AXIS)
     return (_from_local(local), out[None], out_hit[None], overflow[None],
-            n_miss[None])
+            total_miss, max_miss)
 
 
 def _fill_local(cfg: fc.CacheConfig, fill_cap: int, n_dev: int,
@@ -284,6 +303,26 @@ class ShardedFeatureCache:
         self._jit_cache = {}
         self._np_dtype = (ml_dtypes.bfloat16
                           if self.cfg.dtype == jnp.bfloat16 else np.float32)
+        # positions along the mesh data axis served by THIS process; the
+        # public API takes/returns per-local-device host arrays (== global
+        # arrays when single-process)
+        self.local_positions = [p for p, d in
+                                enumerate(self.mesh.devices.flat)
+                                if d.process_index == jax.process_index()]
+        self.n_local = len(self.local_positions)
+
+    def _put(self, local_np, extra_dims: int):
+        from coala_gnn_tpu.parallel.multihost import put_local
+        return put_local(self.mesh, P(DATA_AXIS, *[None] * extra_dims),
+                         local_np)
+
+    @staticmethod
+    def _read_local(arr) -> np.ndarray:
+        """Host copy of this process's shards, stacked along the device
+        axis (== the whole array when single-process)."""
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
     # ---- jitted kernels (built per request-shape) -------------------------
 
@@ -301,7 +340,7 @@ class ShardedFeatureCache:
             mesh=mesh,
             in_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                       P(DATA_AXIS)),
+                       P(), P()),
             check_vma=False)
         k = jax.jit(lookup)
         self._jit_cache[key] = k
@@ -348,16 +387,16 @@ class ShardedFeatureCache:
         ids = np.ascontiguousarray(ids, dtype=np.int32)
         n_req = ids.shape[1]
         k_lookup = self._lookup_kernel(n_req)
-        dids = jax.device_put(ids, NamedSharding(self.mesh, P(DATA_AXIS, None)))
-        dnum = jax.device_put(np.asarray(num_valid, np.int32),
-                              NamedSharding(self.mesh, P(DATA_AXIS)))
-        self.state, feats, hit, overflow, n_miss = k_lookup(self.state, dids, dnum)
+        dids = self._put(ids, 1)
+        dnum = self._put(np.asarray(num_valid, np.int32), 0)
+        self.state, feats, hit, overflow, n_miss, m_max = k_lookup(
+            self.state, dids, dnum)
         try:
             n_miss.copy_to_host_async()
         except Exception:
             pass
         return (ids, np.asarray(num_valid, np.int32), dids, feats, hit,
-                overflow, n_miss)
+                overflow, n_miss, m_max)
 
     def fetch_begin_packed(self, ids_np: np.ndarray, num_valid: np.ndarray,
                            dbuf: jax.Array, n_req: int):
@@ -366,49 +405,52 @@ class ShardedFeatureCache:
         the batch's blocks carries the probe's ids; only the per-device miss
         COUNT (4 bytes) streams back in the common all-hit case."""
         k_lookup = self._lookup_kernel(n_req, packed=True)
-        self.state, feats, hit, overflow, n_miss = k_lookup(
-            self.state, dbuf, jnp.zeros(self.mesh.devices.size, jnp.int32))
+        self.state, feats, hit, overflow, n_miss, m_max = k_lookup(
+            self.state, dbuf, self._put(np.zeros(self.n_local, np.int32), 0))
         try:
             n_miss.copy_to_host_async()
         except Exception:
             pass
         return (np.ascontiguousarray(ids_np, np.int32),
                 np.asarray(num_valid, np.int32), None, feats, hit, overflow,
-                n_miss)
+                n_miss, m_max)
 
     def fetch_complete(self, handle, host_fetch,
                        colors: Optional[np.ndarray] = None,
                        fill: bool = True) -> jax.Array:
         """Resolve a fetch_begin handle: gather misses from the host tier,
-        merge them into the output, and push them into their owner shards."""
-        ids, num_valid, dids, feats, hit, overflow, n_miss = handle
-        n_dev_mesh = self.mesh.devices.size
+        merge them into the output, and push them into their owner shards.
+        Multi-process coherent: the miss decision and the fill-kernel shape
+        come from REPLICATED counters, so every process dispatches the same
+        collectives; each process fetches rows for its own devices only."""
+        ids, num_valid, dids, feats, hit, overflow, n_miss, m_max = handle
         n_req = ids.shape[1]
 
-        # Fast path: only the miss COUNT crosses device->host. All-hit
-        # steady state never reads the full masks.
-        if not np.asarray(n_miss).any():
+        # Fast path: only the replicated miss COUNT crosses device->host.
+        # All-hit steady state never reads the full masks.
+        if int(np.asarray(n_miss)) == 0:
             return feats
 
-        # Host tier: gather rows the cache couldn't serve.
-        hit_np = np.asarray(hit)
-        over_np = np.asarray(overflow)
+        # Host tier: gather rows the cache couldn't serve (local devices).
+        hit_np = self._read_local(hit)
+        over_np = self._read_local(overflow)
         valid_np = np.arange(n_req)[None, :] < num_valid[:, None]
         need = valid_np & (~hit_np | over_np)
         if dids is None:  # packed-begin path: ship ids only on the miss path
-            dids = jax.device_put(ids, NamedSharding(self.mesh, P(DATA_AXIS, None)))
+            dids = self._put(ids, 1)
 
-        # Compact transfer buffers sized to the actual miss count (rounded to
-        # a power of two to bound recompiles); rows are shipped exactly once
-        # and reused on device by both the merge and the owner fill.
-        m_cap = _ceil_pow2(int(need.sum(axis=1).max()))
+        # Compact transfer buffers sized to the GLOBAL max per-device miss
+        # count (replicated -> identical compiled shapes on every process);
+        # rows are shipped exactly once and reused on device by both the
+        # merge and the owner fill.
+        m_cap = _ceil_pow2(int(np.asarray(m_max)))
         k_fill, k_merge = self._miss_kernels(n_req, m_cap)
-        positions = np.full((n_dev_mesh, m_cap), -1, dtype=np.int32)
-        rows = np.zeros((n_dev_mesh, m_cap, self.cfg.dim),
+        positions = np.full((self.n_local, m_cap), -1, dtype=np.int32)
+        rows = np.zeros((self.n_local, m_cap, self.cfg.dim),
                         dtype=self._np_dtype)
-        miss_colors = np.zeros((n_dev_mesh, m_cap), dtype=np.int32)
+        miss_colors = np.zeros((self.n_local, m_cap), dtype=np.int32)
 
-        for d in range(n_dev_mesh):
+        for d in range(self.n_local):
             pos = np.flatnonzero(need[d])
             if pos.size == 0:
                 continue
@@ -418,14 +460,12 @@ class ShardedFeatureCache:
             if colors is not None:
                 miss_colors[d, : pos.size] = colors[miss_ids]
 
-        sh2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        sh3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
-        dpos = jax.device_put(positions, sh2)
-        drows = jax.device_put(rows, sh3)
+        dpos = self._put(positions, 1)
+        drows = self._put(rows, 2)
         feats = k_merge(feats, dpos, drows)
         if fill:
             self.state = k_fill(self.state, dids, dpos, drows,
-                                jax.device_put(miss_colors, sh2))
+                                self._put(miss_colors, 1))
         return feats
 
     def fetch(self, ids: np.ndarray, num_valid: np.ndarray,
@@ -475,21 +515,26 @@ class ShardedFeatureCache:
         per epoch, COALA_GNN_DataLoader.py:170-174)."""
         ids = np.unique(np.asarray(ids, dtype=np.int32).reshape(-1))
         n_dev = self.mesh.devices.size
+        # ids must be the same global list on every process (deterministic
+        # distributor/miss-union contract); each process loads only its own
+        # devices' partitions, so chunk counts agree everywhere.
         if self.n_route > 1:     # sharded: host-side ownership partition
-            per_dev = [ids[ids % n_dev == d] for d in range(n_dev)]
+            per_dev = [ids[ids % n_dev == p] for p in self.local_positions]
+            # global max partition size -> same chunk count on every process
+            counts = np.bincount(ids % n_dev, minlength=n_dev) \
+                if ids.size else np.zeros(n_dev, np.int64)
+            n_chunks = max(1, int(-(-counts.max() // chunk)))
         else:                    # isolated/private: every device caches all
-            per_dev = [ids for _ in range(n_dev)]
+            per_dev = [ids for _ in self.local_positions]
+            n_chunks = max(1, (len(ids) + chunk - 1) // chunk)
 
         k_insert = self._insert_kernel(chunk)
-        sh2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        sh3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
-        n_chunks = max((len(p) + chunk - 1) // chunk for p in per_dev)
         for c in range(n_chunks):
-            grid = np.full((n_dev, chunk), -1, dtype=np.int32)
-            rows = np.zeros((n_dev, chunk, self.cfg.dim),
+            grid = np.full((self.n_local, chunk), -1, dtype=np.int32)
+            rows = np.zeros((self.n_local, chunk, self.cfg.dim),
                             dtype=self._np_dtype)
-            cols = np.zeros((n_dev, chunk), dtype=np.int32)
-            for d in range(n_dev):
+            cols = np.zeros((self.n_local, chunk), dtype=np.int32)
+            for d in range(self.n_local):
                 part = per_dev[d][c * chunk:(c + 1) * chunk]
                 if part.size == 0:
                     continue
@@ -497,16 +542,17 @@ class ShardedFeatureCache:
                 rows[d, : part.size] = host_fetch(part.astype(np.int64))
                 if colors is not None:
                     cols[d, : part.size] = colors[part]
-            self.state = k_insert(self.state, jax.device_put(grid, sh2),
-                                  jax.device_put(rows, sh3),
-                                  jax.device_put(cols, sh2))
+            self.state = k_insert(self.state, self._put(grid, 1),
+                                  self._put(rows, 2), self._put(cols, 1))
 
     def color_meta(self) -> np.ndarray:
         """Aggregated color-occupancy counters (the get_cache_data +
         gather_cache_meta path, ssd_gnn_cache.cuh:176-186,
         Shared_Tensor.py:96-100). Returns int32 [num_colors + 1] summed over
-        this mesh's devices."""
-        return np.asarray(self.state.color_counts.sum(axis=0)).astype(np.int32)
+        THIS PROCESS's devices (the whole mesh when single-process); feed
+        multihost.make_meta_exchange_fn for the cross-host half."""
+        return self._read_local(self.state.color_counts).sum(axis=0) \
+            .astype(np.int32)
 
     def prewarm_by_degree(self, graph, host_fetch,
                           colors: Optional[np.ndarray] = None,
@@ -536,11 +582,13 @@ class ShardedFeatureCache:
         return total.astype(np.int32)
 
     def stats(self) -> dict:
-        h = int(np.asarray(self.state.hits).sum())
-        m = int(np.asarray(self.state.misses).sum())
-        self.state = self.state._replace(
-            hits=jnp.zeros_like(self.state.hits),
-            misses=jnp.zeros_like(self.state.misses))
+        """Hit/miss counters summed over THIS PROCESS's devices, reset on
+        read (reference prints per-GPU stats the same way,
+        COALA_GNN_DataLoader.py:170-174)."""
+        h = int(self._read_local(self.state.hits).sum())
+        m = int(self._read_local(self.state.misses).sum())
+        zero = self._put(np.zeros(self.n_local, np.int32), 0)
+        self.state = self.state._replace(hits=zero, misses=zero)
         return {"hits": h, "misses": m,
                 "hit_ratio": h / (h + m) if h + m else 0.0}
 

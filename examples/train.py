@@ -182,7 +182,7 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
         print(f"Epoch {epoch} | loss {float(loss):.4f} | batch acc "
               f"{acc_s} | Epoch Time: {dt:.3f}s | feature agg time "
               f"0.000s | sampled nodes {sampled}")
-        s = cache.stats()
+        s = rt.stats()   # device counters + fused-window accumulators
         print(f"Cache hit ratio: {s['hit_ratio']:.3f} "
               f"({s['hits']} hits / {s['misses']} misses)")
         scheduler.reset(args.seed + epoch + 1)
@@ -352,20 +352,26 @@ def main(argv=None):
                              labels=ds.labels, local_size=n_dev, prefetch=2)
     sh = NamedSharding(mesh, P(DATA_AXIS))
 
+    # Per-host-local batch slices onto the (possibly multi-host) global
+    # mesh: put_local assembles them with make_array_from_process_local_data
+    # when process_count > 1 (plain device_put is wrong there — each host
+    # holds DIFFERENT rows of the global batch).
+    from coala_gnn_tpu.parallel.multihost import put_local
+
+    def put(a):
+        return put_local(mesh, P(DATA_AXIS), np.asarray(a))
+
     def to_device_stacked(hb):
         if hetero:
-            return [DeviceHeteroBlock(adj=jax.device_put(a, sh),
-                                      mask=jax.device_put(m, sh),
-                                      rel=jax.device_put(r, sh))
+            return [DeviceHeteroBlock(adj=put(a), mask=put(m), rel=put(r))
                     for a, m, r in zip(hb.adjs, hb.masks, hb.rels)]
-        return [DeviceBlock(adj=jax.device_put(a, sh),
-                            mask=jax.device_put(m, sh))
+        return [DeviceBlock(adj=put(a), mask=put(m))
                 for a, m in zip(hb.adjs, hb.masks)]
 
     def fetch_batch(hb):
         if cache is None:
             x = np.stack([store.fetch(ids) for ids in hb.input_ids])
-            return jax.device_put(x, sh)
+            return put(x)
         return cache.fetch(hb.input_ids, hb.num_input, store.fetch,
                            colors=None if meta is None else meta.color)
 
@@ -379,7 +385,30 @@ def main(argv=None):
 
     params = opt_state = None
     sampled_total = 0
-    for epoch in range(args.epochs):
+    start_epoch = 0
+    if args.resume and args.save_dir:
+        # Build params from one probe batch, restore, and skip the epochs
+        # the checkpoint already covers (resuming must not re-train them or
+        # rewrite history at stale step numbers).
+        from coala_gnn_tpu.utils import checkpoint as ckpt
+        hb0 = next(iter(loader))
+        single = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]),
+                              to_device_stacked(hb0))
+        params = model.init(jax.random.key(args.seed), single,
+                            jnp.asarray(np.asarray(fetch_batch(hb0))[0]))
+        opt_state = tx.init(params)
+        like = {"params": params, "opt_state": opt_state, "step": 0}
+        restored = ckpt.restore(args.save_dir, like)
+        if restored is not None:
+            params, opt_state, step0 = restored
+            start_epoch = min(step0 // max(steps_per_epoch, 1), args.epochs)
+            print(f"resumed from step {step0} -> starting at epoch "
+                  f"{start_epoch}")
+        if start_epoch:
+            loader.reset(args.seed + start_epoch)
+        else:
+            loader.reset(args.seed)
+    for epoch in range(start_epoch, args.epochs):
         if args.profile_dir and epoch == 0:
             jax.profiler.start_trace(args.profile_dir)
         t0 = time.perf_counter()
@@ -392,20 +421,13 @@ def main(argv=None):
             ta = time.perf_counter()
             x = fetch_batch(hb)
             agg_time += time.perf_counter() - ta
-            labels = jax.device_put(hb.labels, sh)
+            labels = put(hb.labels)
             if params is None:
                 single = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]),
                                       dblocks)
                 params = model.init(jax.random.key(args.seed), single,
                                     jnp.asarray(np.asarray(x)[0]))
                 opt_state = tx.init(params)
-                if args.resume and args.save_dir:
-                    from coala_gnn_tpu.utils import checkpoint as ckpt
-                    like = {"params": params, "opt_state": opt_state, "step": 0}
-                    restored = ckpt.restore(args.save_dir, like)
-                    if restored is not None:
-                        params, opt_state, step0 = restored
-                        print(f"resumed from step {step0}")
             key, sub = jax.random.split(key)
             params, opt_state, loss, acc = train_step(params, opt_state, sub,
                                                       dblocks, x, labels)
@@ -446,7 +468,7 @@ def main(argv=None):
         for hb in eval_loader:
             dblocks = to_device_stacked(hb)
             x = fetch_batch(hb)
-            labels = jax.device_put(hb.labels, sh)
+            labels = put(hb.labels)
             c = eval_step(params, dblocks, x, labels)
             correct += int(c)
             total += n_dev * B * n_hosts

@@ -1,0 +1,165 @@
+"""Worker for the two-process multi-host tests (spawned by
+test_multiprocess.py). Forces the CPU backend BEFORE any jax operation —
+the axon TPU plugin otherwise grabs the chip (and two TPU processes
+deadlock). Each mode prints machine-checkable lines to stdout.
+
+Run: python mp_worker.py <mode> <coordinator> <num_procs> <proc_id>
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    mode, coordinator, n_procs, pid = (sys.argv[1], sys.argv[2],
+                                       int(sys.argv[3]), int(sys.argv[4]))
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+    from coala_gnn_tpu.parallel.multihost import (
+        initialize_distributed, make_meta_exchange_fn, put_local,
+        read_replicated, topology)
+
+    initialize_distributed(coordinator, n_procs, pid)
+    n_hosts, host_id, local = topology()
+    print(f"TOPOLOGY {n_hosts} {host_id} {local}", flush=True)
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from coala_gnn_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    mesh = make_mesh(jax.devices())
+    n_dev = mesh.devices.size
+
+    if mode == "collectives":
+        # (1) cache-meta exchange (process_allgather path)
+        fn = make_meta_exchange_fn(num_colors=3)
+        meta = fn(np.arange(4, dtype=np.int32) + 10 * host_id)
+        print(f"META {meta.tolist()}", flush=True)
+
+        # (2) put_local: per-process [local_dev, 4] -> global [n_dev, 4],
+        # then a shard_map psum over the full mesh
+        local_rows = (np.arange(local * 4, dtype=np.float32)
+                      .reshape(local, 4) + 100 * host_id)
+        garr = put_local(mesh, P(DATA_AXIS, None), local_rows)
+
+        def body(x):
+            return jax.lax.psum(x.sum(), DATA_AXIS)[None]
+
+        out = jax.jit(shard_map(body, mesh=mesh,
+                                in_specs=(P(DATA_AXIS, None),),
+                                out_specs=P(DATA_AXIS)))(garr)
+        print(f"PSUM {float(read_replicated(out)[0])}", flush=True)
+
+        # (3) all_to_all over the global mesh (the cache-exchange primitive)
+        def a2a(x):
+            return jax.lax.all_to_all(x[0], DATA_AXIS, split_axis=0,
+                                      concat_axis=0, tiled=True)[None]
+
+        vals = put_local(
+            mesh, P(DATA_AXIS, None, None),
+            np.stack([np.full((n_dev, 1),
+                              100 * host_id + d, np.int32)
+                      for d in range(local)]))
+        out = jax.jit(shard_map(a2a, mesh=mesh,
+                                in_specs=(P(DATA_AXIS, None, None),),
+                                out_specs=P(DATA_AXIS, None, None)))(vals)
+        from coala_gnn_tpu.parallel.multihost import read_local_shards
+        idxs, rows = read_local_shards(out)
+        print(f"A2A {idxs} {np.asarray(rows).reshape(-1).tolist()}",
+              flush=True)
+
+    elif mode == "train":
+        # Data-parallel host-pipeline training over the global mesh: every
+        # host feeds ITS devices' batch slices; losses must match the
+        # single-process run bit-for-bit (printed for comparison).
+        losses = run_train(mesh, n_dev, local, host_id)
+        print("LOSSES " + " ".join(f"{v:.8f}" for v in losses), flush=True)
+
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+
+def run_train(mesh, n_dev, local, host_id):
+    import optax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from coala_gnn_tpu.graph.datasets import synthetic_graph
+    from coala_gnn_tpu.cache.host_tier import HostFeatureStore
+    from coala_gnn_tpu.distribution import (DistributionScheduler,
+                                            SeedDistributor)
+    from coala_gnn_tpu.models import make_model
+    from coala_gnn_tpu.models.layers import DeviceBlock
+    from coala_gnn_tpu.parallel.mesh import DATA_AXIS
+    from coala_gnn_tpu.parallel.multihost import put_local, read_replicated
+    from coala_gnn_tpu.parallel.train import make_sharded_train_step
+    from coala_gnn_tpu.sampling.neighbor import NeighborSampler
+
+    B = 16
+    ds = synthetic_graph(num_nodes=2000, avg_degree=8, feature_dim=16,
+                         num_classes=4, seed=71)
+    n_hosts = n_dev // local
+    # every host computes the full deterministic global assignment
+    # (reference contract) and slices its part
+    dist = SeedDistributor(ds.train_idx, batch_size=B, local_size=local,
+                           num_parts=n_hosts, mode="baseline",
+                           shuffle_seed=3)
+    sched = DistributionScheduler(dist, part_id=host_id, local_rank=0)
+    # per-(step, global device) deterministic sampling so process topology
+    # cannot change the sample draw
+    model = make_model("sage", hidden=16, num_classes=4, num_layers=2,
+                       dropout=0.0)
+    tx = optax.adam(1e-2)
+    step_fn = make_sharded_train_step(model, tx, mesh, B)
+    store = HostFeatureStore(ds.features)
+
+    import jax
+    params = opt_state = None
+    losses = []
+    for it in range(4):
+        domain = sched.run_domain().reshape(local, B).astype(np.int64)
+        # deterministic per-(step, global-device) sampler seeds
+        hbs = []
+        for d in range(local):
+            gdev = host_id * local + d
+            sampler = NeighborSampler(ds.graph, [4, 3], B,
+                                      seed=1000 * it + gdev)
+            hbs.append(sampler.sample(domain[d]))
+        adjs = [np.stack([hb.blocks[l].adj for hb in hbs])
+                for l in range(2)]
+        masks = [np.stack([hb.blocks[l].mask for hb in hbs])
+                 for l in range(2)]
+        x = np.stack([store.fetch(hb.input_ids.astype(np.int64))
+                      for hb in hbs])
+        labels = np.stack([ds.labels[domain[d]] for d in range(local)])
+        dblocks = [DeviceBlock(adj=put_local(mesh, P(DATA_AXIS, None, None),
+                                             adjs[l]),
+                               mask=put_local(mesh, P(DATA_AXIS, None, None),
+                                              masks[l]))
+                   for l in range(2)]
+        dx = put_local(mesh, P(DATA_AXIS, None, None),
+                       x.astype(np.float32))
+        dy = put_local(mesh, P(DATA_AXIS, None), labels.astype(np.int32))
+        if params is None:
+            single = [DeviceBlock(adj=jnp.asarray(adjs[l][0]),
+                                  mask=jnp.asarray(masks[l][0]))
+                      for l in range(2)]
+            params = model.init(jax.random.key(0), single,
+                                jnp.asarray(x[0]))
+            opt_state = tx.init(params)
+        params, opt_state, loss, acc = step_fn(params, opt_state,
+                                               jax.random.key(it),
+                                               dblocks, dx, dy)
+        losses.append(float(read_replicated(loss)))
+    return losses
+
+
+if __name__ == "__main__":
+    main()
