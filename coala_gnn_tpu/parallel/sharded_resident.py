@@ -31,6 +31,7 @@ from coala_gnn_tpu.cache import feature_cache as fc
 from coala_gnn_tpu.parallel.mesh import DATA_AXIS
 from coala_gnn_tpu.parallel.sharded_cache import (
     ShardedFeatureCache,
+    _ceil_pow2,
     _to_local,
     _from_local,
     exchange_lookup,
@@ -84,7 +85,7 @@ class ShardedResidentTrainer:
             n_miss = (valid & (~hit | overflow)).sum(dtype=jnp.int32)
             n_edges = sum(b.mask.sum() for b in blocks)
             y = labels_dev[seeds]
-            blocks_out = [type(b)(*(leaf[None] for leaf in b))
+            blocks_out = [jax.tree.map(lambda leaf: leaf[None], b)
                           for b in blocks]
             return (_from_local(local), blocks_out, ids[None], valid[None],
                     feats[None], hit[None], n_miss[None], n_edges[None],
@@ -136,25 +137,43 @@ class ShardedResidentTrainer:
         self._stage_b = jax.jit(stage_b)
 
         # ---- fused multi-step window (multi-device) ----------------------
+        # The window never mutates cache contents (exchange lookups don't
+        # evict), so the cache stays OUT of the scan carry and the jit
+        # outputs (no pass-through copies; rollback snapshots stay valid).
+        # Bucket-overflow slots — requests beyond a (src, owner) bucket's
+        # capacity, which owner-insertion can never repair — are satisfied
+        # by host rows fetched during presample and merged INSIDE the window
+        # (ovf_pos/ovf_rows), so overflow does not trigger rollback-replay.
         def window_local(g, labels_dev, state, params, opt_state, seeds_grid,
-                         keys):
+                         keys, ovf_pos, ovf_rows):
             """Per-device: scan K fused sample+exchange+train steps.
-            seeds_grid [1, K, B]; keys [K, 2] uint32 key data (replicated)."""
+            seeds_grid [1, K, B]; keys [K, 2] uint32 key data (replicated);
+            ovf_pos [1, K, ovf_cap] slot indices (-1 padded); ovf_rows
+            [1, K, ovf_cap, dim] host rows for those slots."""
             seeds_grid = seeds_grid[0]
+            ovf_pos, ovf_rows = ovf_pos[0], ovf_rows[0]
+            local = _to_local(state)
 
             def body(carry, inp):
-                local, params, opt_state = carry
-                seeds, kdata = inp
+                params, opt_state = carry
+                seeds, kdata, opos, orows = inp
                 k = jax.random.wrap_key_data(kdata)
                 k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
                 k1, k2 = jax.random.split(k)
                 blocks, ids, num = sample_blocks_device(
                     g, seeds, fanouts, B, k1, dedup=False)
                 valid = ids != sentinel
-                local2, feats, hit, overflow = exchange_lookup(
+                _, feats, hit, overflow = exchange_lookup(
                     cfg, bucket_cap, n_route, local, ids, valid)
-                n_miss = (valid & (~hit | overflow)).sum(dtype=jnp.int32)
+                safe_pos = jnp.where(opos >= 0, opos, feats.shape[0])
+                feats = feats.at[safe_pos].set(orows.astype(feats.dtype),
+                                               mode="drop")
+                covered = jnp.zeros(ids.shape[0], jnp.bool_).at[
+                    safe_pos].set(True, mode="drop")
+                n_hit = hit.sum(dtype=jnp.int32)
+                n_miss = (valid & ~hit & ~covered).sum(dtype=jnp.int32)
                 n_miss = jax.lax.psum(n_miss, DATA_AXIS)
+                n_hit = jax.lax.psum(n_hit, DATA_AXIS)
                 y = labels_dev[seeds]
 
                 def lfn(p):
@@ -170,17 +189,18 @@ class ShardedResidentTrainer:
                 params = optax.apply_updates(params, updates)
                 n_edges = jax.lax.psum(
                     sum(b.mask.sum() for b in blocks), DATA_AXIS)
-                return (local2, params, opt_state), (loss, n_miss, n_edges)
+                return (params, opt_state), (loss, n_miss, n_hit, n_edges)
 
-            local = _to_local(state)
-            (local, params, opt_state), (losses, miss, edges) = jax.lax.scan(
-                body, (local, params, opt_state), (seeds_grid, keys))
-            return _from_local(local), params, opt_state, losses, miss, edges
+            (params, opt_state), (losses, miss, hits, edges) = jax.lax.scan(
+                body, (params, opt_state),
+                (seeds_grid, keys, ovf_pos, ovf_rows))
+            return params, opt_state, losses, miss, hits, edges
 
         # Presample-prefetch (multi-device): replicate the window's exact
         # key derivation, probe residency only (exchange_probe), and return
-        # the global miss count + per-device miss ids. One batched
-        # owner-partitioned insert then guarantees the fused window hits.
+        # the global counts + per-device miss/overflow ids. Repairable
+        # misses get one batched owner-partitioned insert; overflow slots
+        # get host rows threaded into the window (see window_local).
         def presample_local(g, state, seeds_grid, keys):
             seeds_grid = seeds_grid[0]
             local = _to_local(state)
@@ -193,19 +213,22 @@ class ShardedResidentTrainer:
                 _, ids, _ = sample_blocks_device(g, seeds, fanouts, B, k1,
                                                  dedup=False)
                 valid = ids != sentinel
-                hit = exchange_probe(cfg, bucket_cap, n_route, local, ids,
-                                     valid)
-                return 0, jnp.where(valid & ~hit, ids, -1)
+                hit, overflow = exchange_probe(cfg, bucket_cap, n_route,
+                                               local, ids, valid)
+                return 0, (jnp.where(valid & ~hit & ~overflow, ids, -1),
+                           jnp.where(overflow, ids, -1))
 
-            _, miss = jax.lax.scan(body, 0, (seeds_grid, keys))
-            miss = miss.reshape(-1)
+            _, (miss, ovf) = jax.lax.scan(body, 0, (seeds_grid, keys))
             n_miss = jax.lax.psum((miss >= 0).sum(dtype=jnp.int32), DATA_AXIS)
-            return n_miss[None], miss[None]
+            n_ovf = jax.lax.psum((ovf >= 0).sum(dtype=jnp.int32), DATA_AXIS)
+            return (n_miss[None], n_ovf[None], miss.reshape(-1)[None],
+                    ovf[None])
 
         self._presample = jax.jit(shard_map(
             presample_local, mesh=mesh,
             in_specs=(g_specs, state_specs, P(DATA_AXIS, None, None), P()),
-            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                       P(DATA_AXIS)),
             check_vma=False))
 
         self._window_cache = {}
@@ -216,9 +239,10 @@ class ShardedResidentTrainer:
         self._g_specs = g_specs
         self._labels_dev = labels_dev
         self.full_coverage = False
+        self.hits = self.misses = 0
 
-    def _window_jit(self, params, opt_state):
-        key = "window"
+    def _window_jit(self, params, opt_state, ovf_cap: int):
+        key = ("window", ovf_cap)
         if key in self._window_cache:
             return self._window_cache[key]
         pspec = jax.tree.map(lambda _: P(), params)
@@ -226,52 +250,83 @@ class ShardedResidentTrainer:
         k = jax.jit(shard_map(
             self._window_local, mesh=self._mesh,
             in_specs=(self._g_specs, P(), self._state_specs, pspec, ospec,
-                      P(DATA_AXIS, None), P()),
-            out_specs=(self._state_specs, pspec, ospec, P(), P(), P()),
+                      P(DATA_AXIS, None), P(), P(DATA_AXIS, None, None),
+                      P(DATA_AXIS, None, None, None)),
+            out_specs=(pspec, ospec, P(), P(), P(), P()),
             check_vma=False))
         self._window_cache[key] = k
         return k
 
-    def _prefetch_window(self, seeds_dev, keys) -> None:
-        """Probe the window's residency across the mesh and repair all
-        misses with one owner-partitioned insert, so the fused pass hits
-        everything. Only a per-device miss count crosses device->host on
-        the all-hit path."""
-        n_miss, miss = self._presample(self._g, self.cache.state, seeds_dev,
-                                       keys)
-        if not np.asarray(n_miss).any():
-            return
-        miss_np = np.asarray(miss)
-        mids = np.unique(miss_np[miss_np >= 0])
-        if mids.size == 0:
-            return
-        self.cache.prewarm(mids, self.host_fetch, colors=self.colors)
+    def _prefetch_window(self, seeds_dev, keys, K: int):
+        """Probe the window's residency across the mesh. Repairable misses
+        get one owner-partitioned insert (the fused pass then hits them);
+        bucket-overflow slots get host rows returned as per-step merge
+        inputs for the window. Only two scalar counts cross device->host on
+        the all-hit path. Returns (ovf_pos [n_dev, K, ovf_cap],
+        ovf_rows [n_dev, K, ovf_cap, dim]) numpy arrays."""
+        n_dev = self.mesh.devices.size
+        dim = self.cache.cfg.dim
+        n_miss, n_ovf, miss, ovf = self._presample(
+            self._g, self.cache.state, seeds_dev, keys)
+        empty = (np.zeros((n_dev, K, 0), np.int32),
+                 np.zeros((n_dev, K, 0, dim), self.cache._np_dtype))
+        have_miss = np.asarray(n_miss).any()
+        have_ovf = np.asarray(n_ovf).any()
+        if have_miss:
+            miss_np = np.asarray(miss)
+            mids = np.unique(miss_np[miss_np >= 0])
+            if mids.size:
+                self.cache.prewarm(mids, self.host_fetch, colors=self.colors)
+        if not have_ovf:
+            return empty
+        ovf_np = np.asarray(ovf)                       # [n_dev, K, n_req]
+        counts = (ovf_np >= 0).sum(axis=2)
+        ovf_cap = _ceil_pow2(int(counts.max()))
+        ovf_pos = np.full((n_dev, K, ovf_cap), -1, np.int32)
+        ovf_rows = np.zeros((n_dev, K, ovf_cap, dim), self.cache._np_dtype)
+        for d in range(n_dev):
+            for k in range(K):
+                pos = np.flatnonzero(ovf_np[d, k] >= 0)[:ovf_cap]
+                if pos.size == 0:
+                    continue
+                ovf_pos[d, k, : pos.size] = pos
+                ovf_rows[d, k, : pos.size] = self.host_fetch(
+                    ovf_np[d, k, pos].astype(np.int64))
+        return ovf_pos, ovf_rows
 
-    def train_window(self, params, opt_state, seeds_grid: np.ndarray, key):
-        """K fused DP steps in one dispatch. seeds_grid int32 [n_dev, K, B].
-        Replays per step (with host miss repair) from the pre-window state
-        if any step missed anywhere on the mesh."""
-        k_window = self._window_jit(params, opt_state)
+    def _dispatch_window(self, params, opt_state, seeds_grid, key):
+        """Upload seeds, prefetch (unless full coverage) and dispatch one
+        fused window; the miss-count transfer starts streaming immediately.
+        Returns (params', opt', losses, miss, hits, edges)."""
         sh = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         seeds_dev = jax.device_put(
             np.ascontiguousarray(seeds_grid, np.int32), sh)
         K = seeds_grid.shape[1]
         keys = jax.random.key_data(jax.random.split(key, K))
-
+        n_dev = self.mesh.devices.size
+        dim = self.cache.cfg.dim
         if not self.full_coverage:
-            self._prefetch_window(seeds_dev, keys)
+            ovf_pos, ovf_rows = self._prefetch_window(seeds_dev, keys, K)
+        else:
+            ovf_pos = np.zeros((n_dev, K, 0), np.int32)
+            ovf_rows = np.zeros((n_dev, K, 0, dim), self.cache._np_dtype)
+        k_window = self._window_jit(params, opt_state, ovf_pos.shape[2])
+        sh3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        sh4 = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
+        out = k_window(self._g, self._labels_dev, self.cache.state, params,
+                       opt_state, seeds_dev, keys,
+                       jax.device_put(ovf_pos, sh3),
+                       jax.device_put(ovf_rows, sh4))
+        try:
+            out[3].copy_to_host_async()
+        except Exception:
+            pass
+        return out
 
-        cache0, params0, opt0 = self.cache.state, params, opt_state
-        self.cache.state, params, opt_state, losses, miss, edges = k_window(
-            self._g, self._labels_dev, self.cache.state, params, opt_state,
-            seeds_dev, keys)
-        if int(np.asarray(miss).sum()) == 0:
-            return params, opt_state, losses, edges
-
-        # precise replay through the per-step miss-repair path
-        self.cache.state, params, opt_state = cache0, params0, opt0
+    def _replay_window(self, params, opt_state, seeds_grid, key):
+        """Precise per-step replay with host miss repair (the safety net)."""
         out_losses, out_edges = [], []
-        for i in range(K):
+        for i in range(seeds_grid.shape[1]):
             key, k1, k2 = jax.random.split(key, 3)
             handle = self.begin(seeds_grid[:, i], k1)
             resolved = self.resolve(handle)
@@ -281,6 +336,77 @@ class ShardedResidentTrainer:
             out_edges.append(handle[6].sum())   # per-device edge counts
         return (params, opt_state, jnp.stack(out_losses),
                 jnp.stack(out_edges).astype(jnp.float32))
+
+    def _count_window(self, miss, hits) -> int:
+        m = int(np.asarray(miss).sum())
+        self.hits += int(np.asarray(hits).sum())
+        self.misses += m
+        return m
+
+    def train_window(self, params, opt_state, seeds_grid: np.ndarray, key):
+        """K fused DP steps in one dispatch. seeds_grid int32 [n_dev, K, B].
+        Replays per step (with host miss repair) from the pre-window state
+        if any step missed anywhere on the mesh."""
+        params0, opt0 = params, opt_state
+        params, opt_state, losses, miss, hits, edges = self._dispatch_window(
+            params, opt_state, seeds_grid, key)
+        if self._count_window(miss, hits) == 0:
+            return params, opt_state, losses, edges
+        # precise replay through the per-step miss-repair path
+        return self._replay_window(params0, opt0, seeds_grid, key)
+
+    def train_windows(self, params, opt_state, seeds_grids: np.ndarray, key):
+        """M pipelined fused windows, seeds_grids int32 [M, n_dev, K, B]:
+        window w's miss check is deferred until window w+1 is dispatched
+        (same protocol as ResidentTrainer.train_windows)."""
+        M = seeds_grids.shape[0]
+        keys = list(jax.random.split(key, M))
+        losses_out: list = [None] * M
+        edges_out: list = [None] * M
+        pending = None
+        w = 0
+        while w < M:
+            snap = (params, opt_state)
+            params, opt_state, losses, miss, hits, edges = \
+                self._dispatch_window(params, opt_state, seeds_grids[w],
+                                      keys[w])
+            if pending is not None:
+                pw, psnap, plosses, pmiss, phits, pedges = pending
+                if self._count_window(pmiss, phits) == 0:
+                    losses_out[pw], edges_out[pw] = plosses, pedges
+                    pending = (w, snap, losses, miss, hits, edges)
+                    w += 1
+                else:
+                    params, opt_state = psnap
+                    params, opt_state, plosses, pedges = self._replay_window(
+                        params, opt_state, seeds_grids[pw], keys[pw])
+                    losses_out[pw], edges_out[pw] = plosses, pedges
+                    pending = None
+                    w = pw + 1
+            else:
+                pending = (w, snap, losses, miss, hits, edges)
+                w += 1
+        if pending is not None:
+            pw, psnap, plosses, pmiss, phits, pedges = pending
+            if self._count_window(pmiss, phits) == 0:
+                losses_out[pw], edges_out[pw] = plosses, pedges
+            else:
+                params, opt_state = psnap
+                params, opt_state, plosses, pedges = self._replay_window(
+                    params, opt_state, seeds_grids[pw], keys[pw])
+                losses_out[pw], edges_out[pw] = plosses, pedges
+        return (params, opt_state, jnp.concatenate(losses_out),
+                jnp.concatenate(edges_out))
+
+    def stats(self) -> dict:
+        """Cache device counters (per-step path) + window accumulators,
+        reset on read."""
+        s = self.cache.stats()
+        h = s["hits"] + self.hits
+        m = s["misses"] + self.misses
+        self.hits = self.misses = 0
+        return {"hits": h, "misses": m,
+                "hit_ratio": h / (h + m) if (h + m) else 0.0}
 
     # ------------------------------------------------------------------
     def begin(self, seed_grid: np.ndarray, key):
@@ -337,6 +463,7 @@ class ShardedResidentTrainer:
 
 
 def _block_struct(n_layers):
-    """Placeholder DeviceBlock list for spec construction."""
+    """Placeholder DeviceBlock list for spec construction (contiguous
+    layout: adj=None is an empty pytree, only mask carries a spec)."""
     from coala_gnn_tpu.models.layers import DeviceBlock
-    return [DeviceBlock(adj=0, mask=0) for _ in range(n_layers)]
+    return [DeviceBlock(adj=None, mask=0) for _ in range(n_layers)]

@@ -122,6 +122,7 @@ def test_sharded_window_cold_cache_prefetches():
         params = model.init(jax.random.key(0), blocks0,
                             jnp.asarray(np.asarray(resolved[1])[0]))
         opt = rt.tx.init(params)
+        rt.stats()   # reset: the cold init batch above legitimately missed
         _, _, losses, edges = rt.train_window(params, opt, grid,
                                               jax.random.key(1))
         return np.asarray(losses)
@@ -130,8 +131,73 @@ def test_sharded_window_cold_cache_prefetches():
     l1, l2 = run(rt1), run(rt2)
     assert np.isfinite(l1).all()
     np.testing.assert_allclose(l1, l2, rtol=1e-6)
-    s = rt1.cache.stats()
+    s = rt1.stats()   # fused-window hits accumulate on the trainer
     assert s["hits"] > 0
+    assert s["misses"] == 0   # presample-prefetch guaranteed the window
+
+
+def test_window_overflow_served_without_replay():
+    """Bucket-overflow slots cannot be repaired by owner insertion; the
+    presample must return them as host rows merged inside the fused window.
+    A trainer with a pathologically small bucket must (a) not replay and
+    (b) produce EXACTLY the losses of a trainer with roomy buckets."""
+    import jax.numpy as jnp
+    import optax
+
+    ds = synthetic_graph(num_nodes=2000, avg_degree=8, feature_dim=16,
+                         num_classes=4, seed=51)
+    store = HostFeatureStore(ds.features)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    model = make_model("sage", hidden=16, num_classes=4, num_layers=2,
+                       dropout=0.0)
+
+    def mk(slack):
+        cfg = fc.CacheConfig(num_sets=64, ways=fc.WAYS, dim=16,
+                             cache_dim=fc.round_cache_dim(16), num_colors=0,
+                             num_shards=n_dev)
+        cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="sharded",
+                                    bucket_slack=slack)
+        return ShardedResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                                      labels=ds.labels, cache=cache,
+                                      model=model, tx=optax.adam(1e-2),
+                                      fanouts=[4, 3], batch_size=16)
+
+    rng = np.random.default_rng(13)
+    grid = np.stack([np.stack([rng.choice(ds.train_idx, 16, replace=False)
+                               for _ in range(n_dev)])
+                     for _ in range(3)], axis=1)      # [n_dev, K, B]
+
+    def run(rt):
+        g0 = grid[:, 0]
+        resolved = rt.resolve(rt.begin(g0, jax.random.key(0)))
+        blocks0 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]),
+                               resolved[0])
+        params = model.init(jax.random.key(0), blocks0,
+                            jnp.asarray(np.asarray(resolved[1])[0]))
+        opt = rt.tx.init(params)
+        rt.stats()
+        _, _, losses, _ = rt.train_window(params, opt, grid,
+                                          jax.random.key(2))
+        return np.asarray(losses), rt.stats()
+
+    rt_small = mk(0.02)          # bucket_cap ~1: heavy overflow
+    # confirm overflow actually occurs in this configuration
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from coala_gnn_tpu.parallel.mesh import DATA_AXIS
+    seeds_dev = _jax.device_put(
+        np.ascontiguousarray(grid, np.int32),
+        NamedSharding(mesh, P(DATA_AXIS, None, None)))
+    keys = _jax.random.key_data(_jax.random.split(jax.random.key(2), 3))
+    _, n_ovf, _, _ = rt_small._presample(rt_small._g, rt_small.cache.state,
+                                         seeds_dev, keys)
+    assert int(np.asarray(n_ovf)[0]) > 0
+
+    l_small, s_small = run(rt_small)
+    l_big, s_big = run(mk(8.0))  # roomy buckets: no overflow
+    assert s_small["misses"] == 0      # overflow merged, no rollback-replay
+    np.testing.assert_allclose(l_small, l_big, rtol=1e-5, atol=1e-6)
 
 
 def test_sharded_fused_window(setup):
