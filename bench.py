@@ -27,9 +27,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps):
+def _self_baseline():
+    """Uncached host-fetch self-baseline (edges/s) measured on this chip,
+    stored in BASELINE.json by examples/measure_baseline.py (VERDICT r1:
+    no hardcoded constants)."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as f:
+            return json.load(f)["published"].get("self_uncached_edges_per_s")
+    except Exception:
+        return None
+
+
+def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
+                 prewarm_frac=1.0, tag="resident"):
     """Device-resident mode: topology in HBM, sampling+probe in jit; host
-    uploads only seeds (~4 KB/step)."""
+    uploads only seeds (~4 KB/step). prewarm_frac < 1 leaves the cache
+    under capacity pressure (the regime COALA exists for): only the
+    highest-degree hub nodes are admitted and the presample-prefetch miss
+    path runs live. Returns the result dict."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -51,23 +67,23 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps):
                          labels=ds.labels, cache_cfg=cfg, model=model,
                          tx=optax.adam(1e-3), fanouts=fanouts, batch_size=B)
     t = time.perf_counter()
-    if cfg.capacity >= ds.graph.num_nodes:
+    n_warm = min(cfg.capacity, ds.graph.num_nodes)
+    if prewarm_frac >= 1.0 and cfg.capacity >= ds.graph.num_nodes:
         rt.prewarm(np.arange(ds.graph.num_nodes, dtype=np.int32))
     else:
         # capacity pressure: admit the highest-degree nodes (hub caching)
+        n_warm = min(int(n_warm * min(prewarm_frac, 1.0)),
+                     ds.graph.num_nodes)
         deg = np.diff(np.asarray(ds.graph.indptr))
-        top = np.argpartition(deg, -cfg.capacity)[-cfg.capacity:]
+        top = np.argpartition(deg, -n_warm)[-n_warm:]
         rt.prewarm(top.astype(np.int32))
-    log(f"bench[resident]: prewarmed "
-        f"{min(cfg.capacity, ds.graph.num_nodes)} lines in "
+    log(f"bench[{tag}]: prewarmed {n_warm} lines "
+        f"(capacity {cfg.capacity}, {ds.graph.num_nodes} nodes) in "
         f"{time.perf_counter() - t:.1f}s")
 
     K = int(os.environ.get("BENCH_WINDOW", 8))  # fused steps per dispatch
     rng = np.random.default_rng(0)
     key = jax.random.key(0)
-    # Fused windows presample+prefetch their misses, so they pay in every
-    # regime; BENCH_PER_STEP=1 forces the per-step pipelined engine for A/B.
-    use_window = not int(os.environ.get("BENCH_PER_STEP", 0))
 
     def seeds_one():
         return rng.choice(ds.train_idx, B, replace=False).astype(np.int32)
@@ -84,85 +100,54 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps):
 
     # init params via one resolved batch
     resolved = rt.resolve(rt.begin(seeds_one(), jax.random.key(9)))
-    log("bench[resident]: compiling...")
+    log(f"bench[{tag}]: compiling...")
     params = model.init(jax.random.key(1), resolved[0], resolved[1])
     opt_state = rt.tx.init(params)
 
-    if use_window:
-        n_windows = max((warmup + steps) // K, 2)
-        warm_w = max(warmup // K, 1)
-        key, sub = jax.random.split(key)
-        params, opt_state, loss_arr, _ = rt.train_windows(
-            params, opt_state, make_grids(warm_w), sub)
-        float(np.asarray(loss_arr)[-1])
-        log(f"bench[resident]: compile done (fused window K={K}, "
-            f"{warm_w} warm windows)")
-        rt.stats()
-        meas_grids = make_grids(n_windows - warm_w)
-        key, sub = jax.random.split(key)
-        t0 = time.perf_counter()
-        params, opt_state, loss_arr, edges_arr = rt.train_windows(
-            params, opt_state, meas_grids, sub)
-        loss = float(np.asarray(loss_arr)[-1])
-        dt = (time.perf_counter() - t0)
-        n_done = K * (n_windows - warm_w)
-        edges = float(np.asarray(edges_arr).sum())
-    else:
-        log("bench[resident]: capacity pressure -> per-step pipelined path")
-        pending = []
-
-        def pull():
-            nonlocal key
-            key, sub = jax.random.split(key)
-            pending.append(rt.begin(seeds_one(), sub))
-
-        pull()
-        edge_counts = []
-        n_done = 0
-        t0 = None
-        loss = None
-        for i in range(warmup + steps):
-            handle = pending.pop(0)
-            pull()
-            resolved = rt.resolve(handle)
-            key, sub = jax.random.split(key)
-            params, opt_state, loss, acc = rt.train_step(
-                params, opt_state, sub, resolved)
-            if i == 0:
-                float(loss)
-                log("bench[resident]: compile done (per-step)")
-            if i == warmup - 1:
-                float(loss)
-                rt.stats()
-                t0 = time.perf_counter()
-                edge_counts.clear()
-            if i >= warmup:
-                edge_counts.append(handle[6])
-                n_done += 1
-        loss = float(loss)
-        dt = (time.perf_counter() - t0)
-        edges = sum(float(c) for c in edge_counts)
+    meas_w = max(steps // K, 1)
+    warm_w = max(warmup // K, 1)
+    # warm at the SAME window count as the measurement: every op the timed
+    # region dispatches (including M-dependent stack/concat tails) must be
+    # compiled before t0 — an M-mismatch puts multi-second compiles inside
+    # the measured region (the r2 bench-regression trap)
+    warm_w = max(warm_w, meas_w)
+    key, sub = jax.random.split(key)
+    params, opt_state, loss_arr, _ = rt.train_windows(
+        params, opt_state, make_grids(warm_w), sub)
+    float(np.asarray(loss_arr)[-1])
+    log(f"bench[{tag}]: compile done (fused window K={K}, "
+        f"{warm_w} warm windows)")
+    rt.stats()
+    meas_grids = make_grids(meas_w)
+    key, sub = jax.random.split(key)
+    t0 = time.perf_counter()
+    params, opt_state, loss_arr, edges_arr = rt.train_windows(
+        params, opt_state, meas_grids, sub)
+    loss = float(np.asarray(loss_arr)[-1])
+    dt = (time.perf_counter() - t0)
+    n_done = K * meas_w
+    edges = float(np.asarray(edges_arr).sum())
     eps = edges / dt
     s = rt.stats()
-    log(f"bench[resident]: {n_done} steps in {dt:.3f}s -> {eps:,.0f} edges/s "
+    log(f"bench[{tag}]: {n_done} steps in {dt:.3f}s -> {eps:,.0f} edges/s "
         f"({1000 * dt / n_done:.1f} ms/step, loss {float(loss):.4f}, "
         f"hit {s['hit_ratio']:.3f})")
-    print(json.dumps({
+    base = _self_baseline()
+    return {
         "metric": "train_edges_per_s_per_chip",
         "value": round(eps, 1),
         "unit": "edges/s",
         # the reference publishes no numbers (BASELINE.md); the closest
-        # self-baseline is this framework's own uncached host-fetch pipeline
-        # at the same config (BENCH_RESIDENT=0 BENCH_CACHE_MB=0): 149,652
-        # edges/s measured on this chip.
+        # self-baseline is this framework's own uncached host-fetch
+        # pipeline, measured on this chip into BASELINE.json.
         "vs_baseline": None,
-        "vs_uncached_self_baseline": round(eps / 149652.2, 2),
+        "vs_uncached_self_baseline": (round(eps / base, 2) if base else None),
         "cache_hit_ratio": round(s["hit_ratio"], 4),
         "config": {"batch": B, "fanout": fanouts, "dim": dim,
                    "hidden": hidden, "nodes": ds.graph.num_nodes,
-                   "cache_mb": cache_mb, "model": "sage", "mode": "resident",
+                   "cache_mb": cache_mb, "model": "sage", "mode": tag,
                    "feature_dtype": "bfloat16" if bf16 else "float32"},
-    }))
+    }
 
 
 def main():
@@ -199,8 +184,26 @@ def main():
     ds = synthetic_graph(num_nodes=num_nodes, avg_degree=15, feature_dim=dim,
                          num_classes=16, seed=0)
     if resident:
-        return run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16,
-                            warmup, steps)
+        res = run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16,
+                           warmup, steps)
+        if int(os.environ.get("BENCH_PRESSURE", 1)):
+            # Capacity-pressure regime (the regime COALA exists for,
+            # VERDICT r1): cache sized to ~50% of the feature set,
+            # degree-prewarmed hubs, live presample-prefetch miss path.
+            cdim = fc.round_cache_dim(dim)
+            line_b = cdim * (2 if bf16 else 4)
+            press_mb = max(int(num_nodes * 0.5 * line_b) >> 20, 1)
+            p = run_resident(ds, B, fanouts, dim, hidden, press_mb, bf16,
+                             warmup, steps, tag="resident-pressure")
+            res["pressure"] = {
+                "value": p["value"], "unit": p["unit"],
+                "cache_hit_ratio": p["cache_hit_ratio"],
+                "cache_mb": press_mb,
+                "vs_uncached_self_baseline":
+                    p["vs_uncached_self_baseline"],
+            }
+        print(json.dumps(res))
+        return
     sampler = NeighborSampler(ds.graph, fanouts, B, seed=0)
     distributor = SeedDistributor(ds.train_idx, batch_size=B, local_size=1,
                                   num_parts=1, mode="baseline", shuffle_seed=0)

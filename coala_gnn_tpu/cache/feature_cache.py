@@ -39,6 +39,17 @@ import numpy as np
 WAYS = 32  # reference: ssd_gnn_cache.cuh:61
 
 
+def assert_ids_fit_int32(num_nodes: int) -> None:
+    """Node ids live on device as int32 (module docstring contract); a
+    graph past 2^31-1 nodes would silently truncate ids — refuse loudly.
+    Edge counts are NOT bound by this (DeviceGraph promotes offsets to
+    int64)."""
+    if num_nodes > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"{num_nodes} nodes exceeds the int32 node-id domain "
+            "(2^31-1); shard the node space before building device state")
+
+
 def round_cache_dim(dim: int) -> int:
     """Feature dim -> cache line dim {128, 256, 512, 1024}
     (reference: ssd_gnn_cache.cuh:34-47). Dims above 1024 round up to the

@@ -76,24 +76,48 @@ def color_graph(graph: CSCGraph, train_ids: np.ndarray,
     return _color_graph_py(graph, train_ids, max_hop, base_rate, seed)
 
 
+def color_graph_from_seeds(graph: CSCGraph, train_ids: np.ndarray,
+                           seed_nodes: np.ndarray,
+                           max_hop: int = GLOBAL_MAX_HOP,
+                           use_native: bool = True
+                           ) -> Tuple[int, np.ndarray, np.ndarray]:
+    """BFS coloring with the seed-node picks injected explicitly (seed i
+    gets color i+1). Native and Python paths are EXACTLY equal given the
+    same seed list — the RNG draw is the only divergence between them, and
+    this entry bypasses it (tests/test_coloring.py cross-checks)."""
+    if use_native:
+        mod, lib = _native()
+        if lib is not None:
+            return mod.color_graph_seeded(lib, graph, train_ids, seed_nodes,
+                                          max_hop)
+    return _color_graph_py_core(graph, train_ids,
+                                np.asarray(seed_nodes, np.int64), max_hop)
+
+
 def _color_graph_py(graph: CSCGraph, train_ids: np.ndarray, max_hop: int,
                     base_rate: float, seed: int
                     ) -> Tuple[int, np.ndarray, np.ndarray]:
     """Pure-Python oracle with the same semantics as the native kernel
-    (seed sampling may differ from native — the *structure* of the output is
-    what tests cross-check: BFS expansion order, first-color-wins, hops)."""
+    (RNG seed sampling differs from native; inject explicit picks via
+    color_graph_from_seeds for exact equality)."""
+    train_ids = np.asarray(train_ids, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    frac = min(20.0, graph.num_nodes / max(len(train_ids), 1))
+    rate = base_rate * frac
+    picks = train_ids[rng.random(len(train_ids)) <= rate]
+    return _color_graph_py_core(graph, train_ids, picks, max_hop)
+
+
+def _color_graph_py_core(graph: CSCGraph, train_ids: np.ndarray,
+                         picks: np.ndarray, max_hop: int
+                         ) -> Tuple[int, np.ndarray, np.ndarray]:
     n = graph.num_nodes
     color = np.zeros(n, dtype=np.int64)
     hop_buf = np.zeros(n, dtype=np.int32)
-    rng = np.random.default_rng(seed)
 
-    train_ids = np.asarray(train_ids, dtype=np.int64)
     is_train = np.zeros(n, dtype=bool)
-    is_train[train_ids] = True
-    frac = min(20.0, n / max(len(train_ids), 1))
-    rate = base_rate * frac
+    is_train[np.asarray(train_ids, np.int64)] = True
 
-    picks = train_ids[rng.random(len(train_ids)) <= rate]
     frontier = [(int(v), c + 1) for c, v in enumerate(picks)]
     num_colors = len(picks)
 

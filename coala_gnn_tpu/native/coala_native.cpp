@@ -114,34 +114,27 @@ void cg_sample_layer(const int64_t* indptr, const void* indices, int idx_width,
 //     the flush also records the hop (the reference leaves it uninitialized —
 //     SURVEY.md "quirks", graph_coloring.cpp:159 uses cpu_flush_buffer<false>).
 // Returns the number of colors (colors are 1..num_colors).
+// cg_color_graph_seeded takes the seed-node list explicitly (seed i gets
+// color i+1) instead of RNG-sampling it — the injection point that lets
+// tests compare native vs oracle colorings EXACTLY.
 // ---------------------------------------------------------------------------
-int64_t cg_color_graph(const int64_t* indptr, const void* indices,
-                       int idx_width, int64_t num_nodes,
-                       const int64_t* train_ids, int64_t num_train,
-                       int max_hop, double base_rate, uint64_t seed,
-                       int64_t* color_out, int32_t* hop_out) {
+static int64_t color_graph_core(const int64_t* indptr, const void* indices,
+                                int idx_width, int64_t num_nodes,
+                                const int64_t* train_ids, int64_t num_train,
+                                const int64_t* seed_nodes, int64_t n_seeds,
+                                int max_hop, int64_t* color_out,
+                                int32_t* hop_out) {
   std::memset(color_out, 0, sizeof(int64_t) * num_nodes);
   std::memset(hop_out, 0, sizeof(int32_t) * num_nodes);
 
   std::vector<uint8_t> is_train(num_nodes, 0);
   for (int64_t t = 0; t < num_train; t++) is_train[train_ids[t]] = 1;
 
-  const double frac =
-      num_train > 0 ? std::min(20.0, (double) num_nodes / (double) num_train)
-                    : 1.0;
-  const double rate = base_rate * frac;
-
   typedef std::pair<int64_t, int64_t> NodeColor;
   std::vector<NodeColor> buf[2];
-  std::mt19937_64 rng(seed);
-  std::uniform_real_distribution<double> uni(0.0, 1.0);
-
-  int64_t color_counter = 1;
-  for (int64_t t = 0; t < num_train; t++) {
-    const int64_t v = train_ids[t];
-    if (color_out[v] == 0 && uni(rng) <= rate)
-      buf[0].emplace_back(v, color_counter++);
-  }
+  for (int64_t s = 0; s < n_seeds; s++)
+    buf[0].emplace_back(seed_nodes[s], s + 1);
+  const int64_t color_counter = n_seeds + 1;
 
   // hop-0 pre-step: adopt uncolored train 1-hop neighbors into seed colors.
   const size_t n_seeds = buf[0].size();
@@ -179,6 +172,38 @@ int64_t cg_color_graph(const int64_t* indptr, const void* indices,
     }
   }
   return color_counter - 1;
+}
+
+int64_t cg_color_graph(const int64_t* indptr, const void* indices,
+                       int idx_width, int64_t num_nodes,
+                       const int64_t* train_ids, int64_t num_train,
+                       int max_hop, double base_rate, uint64_t seed,
+                       int64_t* color_out, int32_t* hop_out) {
+  const double frac =
+      num_train > 0 ? std::min(20.0, (double) num_nodes / (double) num_train)
+                    : 1.0;
+  const double rate = base_rate * frac;
+
+  std::mt19937_64 rng(seed);
+  std::uniform_real_distribution<double> uni(0.0, 1.0);
+  std::vector<int64_t> seeds;
+  for (int64_t t = 0; t < num_train; t++)
+    if (uni(rng) <= rate) seeds.push_back(train_ids[t]);
+
+  return color_graph_core(indptr, indices, idx_width, num_nodes, train_ids,
+                          num_train, seeds.data(), (int64_t) seeds.size(),
+                          max_hop, color_out, hop_out);
+}
+
+int64_t cg_color_graph_seeded(const int64_t* indptr, const void* indices,
+                              int idx_width, int64_t num_nodes,
+                              const int64_t* train_ids, int64_t num_train,
+                              const int64_t* seed_nodes, int64_t n_seeds,
+                              int max_hop, int64_t* color_out,
+                              int32_t* hop_out) {
+  return color_graph_core(indptr, indices, idx_width, num_nodes, train_ids,
+                          num_train, seed_nodes, n_seeds, max_hop, color_out,
+                          hop_out);
 }
 
 // ---------------------------------------------------------------------------

@@ -57,6 +57,12 @@ def get() -> ctypes.CDLL:
             ctypes.c_uint64, _i64p, _i32p]
         lib.cg_color_graph.restype = ctypes.c_int64
 
+        lib.cg_color_graph_seeded.argtypes = [
+            _i64p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int64,
+            _i64p, ctypes.c_int64, _i64p, ctypes.c_int64, ctypes.c_int,
+            _i64p, _i32p]
+        lib.cg_color_graph_seeded.restype = ctypes.c_int64
+
         lib.cg_color_affinity.argtypes = [
             _i64p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int64,
             _i64p, _i32p, ctypes.c_int64, ctypes.c_int, _i64p, _f64p]
@@ -110,6 +116,23 @@ def color_graph(lib: ctypes.CDLL, graph, train_ids: np.ndarray,
     num_colors = lib.cg_color_graph(graph.indptr, idx_ptr, width, n,
                                     train_ids, train_ids.shape[0], max_hop,
                                     base_rate, seed & (2**64 - 1), color, hop)
+    return int(num_colors), color, hop
+
+
+def color_graph_seeded(lib: ctypes.CDLL, graph, train_ids: np.ndarray,
+                       seed_nodes: np.ndarray, max_hop: int = 10
+                       ) -> Tuple[int, np.ndarray, np.ndarray]:
+    """color_graph with the seed-node picks injected explicitly (seed i gets
+    color i+1) — the exact-equality cross-check entry point."""
+    train_ids = np.ascontiguousarray(train_ids, dtype=np.int64)
+    seed_nodes = np.ascontiguousarray(seed_nodes, dtype=np.int64)
+    n = graph.num_nodes
+    color = np.empty(n, dtype=np.int64)
+    hop = np.empty(n, dtype=np.int32)
+    idx_ptr, width = _indices_arg(graph.indices)
+    num_colors = lib.cg_color_graph_seeded(
+        graph.indptr, idx_ptr, width, n, train_ids, train_ids.shape[0],
+        seed_nodes, seed_nodes.shape[0], max_hop, color, hop)
     return int(num_colors), color, hop
 
 

@@ -259,14 +259,19 @@ class ResidentTrainer:
         blocks, feats, y = resolved
         return self._stage_b(params, opt_state, key, blocks, feats, y)
 
-    def _prefetch_window(self, seeds_dev, keys_data) -> None:
-        """Presample the window, repair any misses once (guaranteeing the
-        fused pass hits everything). Only the 4-byte miss count crosses
-        device->host unless there are misses to repair."""
-        n_miss, miss = self._presample(self.g, self.cache, seeds_dev,
-                                       keys_data)
-        if int(np.asarray(n_miss)) == 0:
-            return
+    def _probe_window(self, seeds_dev, keys_data):
+        """Dispatch the presample residency probe (no host sync). Returns
+        the device miss-id array handle."""
+        _, miss = self._presample(self.g, self.cache, seeds_dev, keys_data)
+        try:
+            miss.copy_to_host_async()
+        except Exception:
+            pass
+        return miss
+
+    def _repair_from_probe(self, miss) -> None:
+        """Read a probe's miss ids (ONE d2h transfer) and repair them with
+        a single batched insert, guaranteeing the fused window hits."""
         miss = np.asarray(miss)
         mids = np.unique(miss[miss >= 0])
         if mids.size == 0:
@@ -285,23 +290,30 @@ class ResidentTrainer:
             self.cache, jnp.asarray(ids_p), jnp.asarray(rows),
             jnp.asarray(colors_d))
 
-    def _dispatch_window(self, params, opt_state, seeds_grid, key):
-        """Upload seeds, prefetch misses (unless full coverage) and dispatch
-        one fused window. Returns (params', opt', losses, miss, hits, edges)
-        with the miss array's transfer already streaming host-ward."""
+    def _window_keys(self, seeds_grid, key):
+        return jax.random.key_data(
+            jax.random.split(key, seeds_grid.shape[0]))
+
+    def _dispatch_window(self, params, opt_state, seeds_grid, key,
+                         sync_miss: bool = True, prefetch: bool = True):
+        """Upload seeds, prefetch misses (unless full coverage or the
+        caller already repaired via a pipelined probe) and dispatch one
+        fused window. Returns (params', opt', losses, miss, hits, edges).
+        sync_miss starts the miss array's d2h transfer early (single-window
+        callers); batched callers fold counters and transfer once instead."""
         seeds_dev = jnp.asarray(np.ascontiguousarray(seeds_grid, np.int32))
-        if not self.full_coverage:
+        if prefetch and not self.full_coverage:
             # full coverage -> every probe hits by construction; skip the
             # presample pass entirely (the replay net still guards).
-            keys_data = jax.random.key_data(
-                jax.random.split(key, seeds_grid.shape[0]))
-            self._prefetch_window(seeds_dev, keys_data)
+            self._repair_from_probe(self._probe_window(
+                seeds_dev, self._window_keys(seeds_grid, key)))
         out = self._window(self.g, self.labels_dev, self.cache, params,
                            opt_state, seeds_dev, key)
-        try:
-            out[3].copy_to_host_async()
-        except Exception:
-            pass
+        if sync_miss:
+            try:
+                out[3].copy_to_host_async()
+            except Exception:
+                pass
         return out
 
     def _replay_window(self, params, opt_state, seeds_grid, key):
@@ -341,53 +353,62 @@ class ResidentTrainer:
         return self._replay_window(params0, opt0, seeds_grid, key)
 
     def train_windows(self, params, opt_state, seeds_grids: np.ndarray, key):
-        """M pipelined fused windows. seeds_grids int32 [M, K, B].
+        """M fused windows, fully asynchronous. seeds_grids int32 [M, K, B].
 
-        The miss check for window w is deferred until window w+1 has been
-        dispatched, so the device->host round trip overlaps the next
-        window's compute — the host never blocks on an in-flight window at
-        steady state (the TPU-side analog of the reference scheduler's
-        one-iteration-ahead pipeline, COALA_GNN_DataLoader.py:31-68).
+        Every window is dispatched back-to-back with ZERO per-window
+        device->host synchronization; the miss counters of all M windows
+        are folded into one [M, 2] device array and read back in a SINGLE
+        transfer at the end. On a tunneled/remote device a d2h round trip
+        costs tens of milliseconds — reading two counters per window made
+        the dispatch loop 10x slower than the windows themselves (this is
+        the r2 bench-regression root cause). Misses are already guaranteed
+        impossible by presample-prefetch (associative) or full coverage
+        (flat tier); if one somehow occurs, the first bad window and the
+        (tainted) tail are replayed per-step.
         Returns (params', opt_state', losses [M*K], edges [M*K])."""
         M = seeds_grids.shape[0]
         keys = list(jax.random.split(key, M))
         losses_out: list = [None] * M
         edges_out: list = [None] * M
-        pending = None   # (w, snapshot, losses, miss, hits, edges)
-        w = 0
-        while w < M:
-            snap = (params, opt_state)
+        snaps: list = [None] * M
+        counters: list = [None] * M
+        # Software-pipelined prefetch: the residency probe for window w+1 is
+        # dispatched right after window w's repair-insert (so it sees the
+        # post-repair cache) and its d2h readback overlaps window w's
+        # compute — the probe round trip leaves the critical path.
+        probe = None
+        if not self.full_coverage:
+            probe = self._probe_window(
+                jnp.asarray(np.ascontiguousarray(seeds_grids[0], np.int32)),
+                self._window_keys(seeds_grids[0], keys[0]))
+        for w in range(M):
+            snaps[w] = (params, opt_state)
+            if not self.full_coverage:
+                self._repair_from_probe(probe)
+                if w + 1 < M:
+                    probe = self._probe_window(
+                        jnp.asarray(np.ascontiguousarray(seeds_grids[w + 1],
+                                                         np.int32)),
+                        self._window_keys(seeds_grids[w + 1], keys[w + 1]))
             params, opt_state, losses, miss, hits, edges = \
                 self._dispatch_window(params, opt_state, seeds_grids[w],
-                                      keys[w])
-            if pending is not None:
-                pw, psnap, plosses, pmiss, phits, pedges = pending
-                if self._count_window(pmiss, phits) == 0:
-                    losses_out[pw], edges_out[pw] = plosses, pedges
-                    pending = (w, snap, losses, miss, hits, edges)
-                    w += 1
-                else:
-                    # window pw missed: discard it AND the just-dispatched
-                    # window (it consumed post-miss state), replay pw
-                    # per-step, then resume from pw+1.
-                    params, opt_state = psnap
-                    params, opt_state, plosses, pedges = self._replay_window(
-                        params, opt_state, seeds_grids[pw], keys[pw])
-                    losses_out[pw], edges_out[pw] = plosses, pedges
-                    pending = None
-                    w = pw + 1
-            else:
-                pending = (w, snap, losses, miss, hits, edges)
-                w += 1
-        if pending is not None:
-            pw, psnap, plosses, pmiss, phits, pedges = pending
-            if self._count_window(pmiss, phits) == 0:
-                losses_out[pw], edges_out[pw] = plosses, pedges
-            else:
-                params, opt_state = psnap
+                                      keys[w], sync_miss=False,
+                                      prefetch=False)   # repaired above
+            losses_out[w], edges_out[w] = losses, edges
+            counters[w] = jnp.stack([miss.sum(), hits.sum()])
+        folded = np.asarray(jnp.stack(counters))        # ONE d2h transfer
+        self.misses += int(folded[:, 0].sum())
+        self.hits += int(folded[:, 1].sum())
+        bad = np.flatnonzero(folded[:, 0])
+        if bad.size:
+            # replay the first bad window and everything after it (the tail
+            # consumed post-miss state)
+            w0 = int(bad[0])
+            params, opt_state = snaps[w0]
+            for w in range(w0, M):
                 params, opt_state, plosses, pedges = self._replay_window(
-                    params, opt_state, seeds_grids[pw], keys[pw])
-                losses_out[pw], edges_out[pw] = plosses, pedges
+                    params, opt_state, seeds_grids[w], keys[w])
+                losses_out[w], edges_out[w] = plosses, pedges
         return (params, opt_state, jnp.concatenate(losses_out),
                 jnp.concatenate(edges_out))
 

@@ -294,10 +294,12 @@ class ShardedResidentTrainer:
                     ovf_np[d, k, pos].astype(np.int64))
         return ovf_pos, ovf_rows
 
-    def _dispatch_window(self, params, opt_state, seeds_grid, key):
+    def _dispatch_window(self, params, opt_state, seeds_grid, key,
+                         sync_miss: bool = True):
         """Upload seeds, prefetch (unless full coverage) and dispatch one
-        fused window; the miss-count transfer starts streaming immediately.
-        Returns (params', opt', losses, miss, hits, edges)."""
+        fused window; sync_miss starts the miss-count transfer immediately
+        (single-window callers). Returns (params', opt', losses, miss,
+        hits, edges)."""
         sh = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         seeds_dev = jax.device_put(
             np.ascontiguousarray(seeds_grid, np.int32), sh)
@@ -317,10 +319,11 @@ class ShardedResidentTrainer:
                        opt_state, seeds_dev, keys,
                        jax.device_put(ovf_pos, sh3),
                        jax.device_put(ovf_rows, sh4))
-        try:
-            out[3].copy_to_host_async()
-        except Exception:
-            pass
+        if sync_miss:
+            try:
+                out[3].copy_to_host_async()
+            except Exception:
+                pass
         return out
 
     def _replay_window(self, params, opt_state, seeds_grid, key):
@@ -356,45 +359,37 @@ class ShardedResidentTrainer:
         return self._replay_window(params0, opt0, seeds_grid, key)
 
     def train_windows(self, params, opt_state, seeds_grids: np.ndarray, key):
-        """M pipelined fused windows, seeds_grids int32 [M, n_dev, K, B]:
-        window w's miss check is deferred until window w+1 is dispatched
-        (same protocol as ResidentTrainer.train_windows)."""
+        """M fused windows, fully asynchronous. seeds_grids int32
+        [M, n_dev, K, B]. Same protocol as ResidentTrainer.train_windows:
+        all M windows dispatch with zero per-window host syncs and their
+        miss/hit counters come back in ONE folded [M, 2] transfer at the
+        end (a per-window d2h round trip dominates the window itself on a
+        tunneled device). On an (impossible-by-prefetch) miss, the first
+        bad window and its tainted tail replay per-step."""
         M = seeds_grids.shape[0]
         keys = list(jax.random.split(key, M))
         losses_out: list = [None] * M
         edges_out: list = [None] * M
-        pending = None
-        w = 0
-        while w < M:
-            snap = (params, opt_state)
+        snaps: list = [None] * M
+        counters: list = [None] * M
+        for w in range(M):
+            snaps[w] = (params, opt_state)
             params, opt_state, losses, miss, hits, edges = \
                 self._dispatch_window(params, opt_state, seeds_grids[w],
-                                      keys[w])
-            if pending is not None:
-                pw, psnap, plosses, pmiss, phits, pedges = pending
-                if self._count_window(pmiss, phits) == 0:
-                    losses_out[pw], edges_out[pw] = plosses, pedges
-                    pending = (w, snap, losses, miss, hits, edges)
-                    w += 1
-                else:
-                    params, opt_state = psnap
-                    params, opt_state, plosses, pedges = self._replay_window(
-                        params, opt_state, seeds_grids[pw], keys[pw])
-                    losses_out[pw], edges_out[pw] = plosses, pedges
-                    pending = None
-                    w = pw + 1
-            else:
-                pending = (w, snap, losses, miss, hits, edges)
-                w += 1
-        if pending is not None:
-            pw, psnap, plosses, pmiss, phits, pedges = pending
-            if self._count_window(pmiss, phits) == 0:
-                losses_out[pw], edges_out[pw] = plosses, pedges
-            else:
-                params, opt_state = psnap
+                                      keys[w], sync_miss=False)
+            losses_out[w], edges_out[w] = losses, edges
+            counters[w] = jnp.stack([miss.sum(), hits.sum()])
+        folded = np.asarray(jnp.stack(counters))        # ONE d2h transfer
+        self.misses += int(folded[:, 0].sum())
+        self.hits += int(folded[:, 1].sum())
+        bad = np.flatnonzero(folded[:, 0])
+        if bad.size:
+            w0 = int(bad[0])
+            params, opt_state = snaps[w0]
+            for w in range(w0, M):
                 params, opt_state, plosses, pedges = self._replay_window(
-                    params, opt_state, seeds_grids[pw], keys[pw])
-                losses_out[pw], edges_out[pw] = plosses, pedges
+                    params, opt_state, seeds_grids[w], keys[w])
+                losses_out[w], edges_out[w] = plosses, pedges
         return (params, opt_state, jnp.concatenate(losses_out),
                 jnp.concatenate(edges_out))
 

@@ -29,8 +29,16 @@ from coala_gnn_tpu.sampling.neighbor import block_capacities
 
 class DeviceGraph(NamedTuple):
     """CSC topology in device memory. indptr is padded with one extra
-    trailing entry so the sentinel id (num_nodes) reads degree 0."""
-    indptr: jax.Array    # int32 [num_nodes + 2]
+    trailing entry so the sentinel id (num_nodes) reads degree 0.
+
+    Edge offsets (indptr) auto-promote from int32 to uint32 above 2^31-1
+    edges — a symmetrized papers100M has ~3.2B edges
+    (ssd_gnn_dataloader.py:819 scale), which uint32 covers without the
+    global jax_enable_x64 switch. Node ids and indices stay int32
+    (num_nodes < 2^31 asserted at build). Past 2^32-1 edges the
+    single-replica layout is refused (use the host-sampler pipeline or a
+    sharded topology)."""
+    indptr: jax.Array    # int32/uint32 [num_nodes + 2]
     indices: jax.Array   # int32 [num_edges]
 
     @property
@@ -38,13 +46,32 @@ class DeviceGraph(NamedTuple):
         return self.indptr.shape[0] - 2
 
 
-def to_device_graph(graph) -> DeviceGraph:
-    """Host CSCGraph -> device-resident DeviceGraph (int32)."""
+def fits_device_graph(num_nodes: int, num_edges: int) -> bool:
+    """Whether the single-replica device-resident topology layout can
+    represent this graph (trainers use this to auto-fall back to the host
+    sampling pipeline)."""
+    return (num_nodes <= np.iinfo(np.int32).max
+            and num_edges <= np.iinfo(np.uint32).max)
+
+
+def to_device_graph(graph, force_wide_offsets: bool = False) -> DeviceGraph:
+    """Host CSCGraph -> device-resident DeviceGraph. Edge offsets (indptr)
+    use int32 when they fit and promote to uint32 past 2^31-1 edges;
+    force_wide_offsets exercises the large-graph layout on small inputs
+    (tests)."""
+    from coala_gnn_tpu.cache.feature_cache import assert_ids_fit_int32
+
+    assert_ids_fit_int32(graph.num_nodes)
     indptr = np.asarray(graph.indptr, dtype=np.int64)
     pad = np.concatenate([indptr, indptr[-1:]]).astype(np.int64)
-    if pad[-1] > np.iinfo(np.int32).max:
-        raise ValueError("graph too large for int32 edge offsets")
-    return DeviceGraph(indptr=jnp.asarray(pad, jnp.int32),
+    if pad[-1] > np.iinfo(np.uint32).max:
+        raise ValueError(
+            f"graph has {int(pad[-1])} edges (> uint32 offsets); the "
+            "single-replica resident layout tops out at 2^32-1 edges — "
+            "use the host pipeline (fits_device_graph gates this)")
+    off_dtype = (jnp.uint32 if force_wide_offsets
+                 or pad[-1] > np.iinfo(np.int32).max else jnp.int32)
+    return DeviceGraph(indptr=jnp.asarray(pad, off_dtype),
                        indices=jnp.asarray(np.asarray(graph.indices), jnp.int32))
 
 
@@ -54,8 +81,8 @@ def _sample_layer(g: DeviceGraph, dst: jax.Array, fanout: int,
     Same slot semantics as the host sampler: deg<=f takes all in order,
     deg>f draws uniformly with replacement; masked slots point at dst."""
     n = dst.shape[0]
-    starts = g.indptr[dst]
-    deg = g.indptr[dst + 1] - starts
+    starts = g.indptr[dst]               # int32 or uint32 (wide offsets)
+    deg = (g.indptr[dst + 1] - starts).astype(jnp.int32)
     k = jnp.arange(fanout, dtype=jnp.int32)[None, :]
     mask = k < jnp.minimum(deg, fanout)[:, None]
 
@@ -63,7 +90,7 @@ def _sample_layer(g: DeviceGraph, dst: jax.Array, fanout: int,
     rand_off = (rand * jnp.maximum(deg, 1)[:, None]).astype(jnp.int32)
     seq_off = jnp.minimum(k, jnp.maximum(deg[:, None] - 1, 0))
     offsets = jnp.where(deg[:, None] <= fanout, seq_off, rand_off)
-    nbr = g.indices[starts[:, None] + offsets]
+    nbr = g.indices[starts[:, None] + offsets.astype(starts.dtype)]
     nbr = jnp.where(mask, nbr, dst[:, None])
     return nbr, mask.astype(jnp.float32)
 

@@ -340,13 +340,21 @@ def main(argv=None):
               f"({cfg.size_mb:.0f} MB per device)")
 
     if args.pipeline == "resident":
+        from coala_gnn_tpu.sampling.device_sampler import fits_device_graph
         if hetero:
             raise SystemExit("--pipeline resident supports homogeneous "
                              "models (sage/gcn/gat) in this version")
         if cache is None:
             raise SystemExit("--pipeline resident requires --cache_size > 0")
-        return _run_resident(args, ds, meta, cache, store, model, tx,
-                             scheduler, fanouts, B, n_dev, jax)
+        if not fits_device_graph(ds.graph.num_nodes, ds.graph.num_edges):
+            # papers100M-symmetrized scale fits (uint32 offsets); beyond
+            # that the replicated topology can't — train via host sampling
+            print(f"WARNING: graph ({ds.graph.num_nodes} nodes, "
+                  f"{ds.graph.num_edges} edges) exceeds the device-resident "
+                  "topology limits; falling back to the host pipeline")
+        else:
+            return _run_resident(args, ds, meta, cache, store, model, tx,
+                                 scheduler, fanouts, B, n_dev, jax)
 
     loader = CoalaDataLoader(scheduler=scheduler, sampler=sampler,
                              labels=ds.labels, local_size=n_dev, prefetch=2)

@@ -135,3 +135,44 @@ def test_device_sampler_trains(small_dataset):
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_wide_offset_layout_matches_int32(small_dataset):
+    """uint32 edge-offset layout (the >2^31-edge large-graph mode,
+    VERDICT r1 item 6) must sample identically to the int32 layout."""
+    from coala_gnn_tpu.sampling.device_sampler import fits_device_graph
+
+    ds = small_dataset
+    g32 = to_device_graph(ds.graph)
+    gw = to_device_graph(ds.graph, force_wide_offsets=True)
+    assert g32.indptr.dtype == jnp.int32
+    assert gw.indptr.dtype == jnp.uint32
+
+    seeds = jnp.asarray(ds.train_idx[:32].astype(np.int32))
+    key = jax.random.key(11)
+    for dedup in (False, True):
+        b32, ids32, num32 = sample_blocks_device(g32, seeds, [3, 2], 32,
+                                                 key, dedup=dedup)
+        bw, idsw, numw = sample_blocks_device(gw, seeds, [3, 2], 32,
+                                              key, dedup=dedup)
+        np.testing.assert_array_equal(np.asarray(ids32), np.asarray(idsw))
+        assert int(num32) == int(numw)
+        for l in range(2):
+            np.testing.assert_array_equal(np.asarray(b32[l].mask),
+                                          np.asarray(bw[l].mask))
+
+
+def test_fits_device_graph_gate():
+    from coala_gnn_tpu.sampling.device_sampler import fits_device_graph
+
+    assert fits_device_graph(111_000_000, 3_200_000_000)   # papers100M sym
+    assert not fits_device_graph(111_000_000, 2**32)       # offset overflow
+    assert not fits_device_graph(2**31, 1000)              # id overflow
+
+
+def test_node_id_overflow_refused():
+    from coala_gnn_tpu.cache.feature_cache import assert_ids_fit_int32
+
+    assert_ids_fit_int32(2**31 - 1)
+    with pytest.raises(ValueError):
+        assert_ids_fit_int32(2**31)
