@@ -245,4 +245,8 @@ def load_dataset(name: str, **kwargs) -> Dataset:
         return _load_ogb(name, kwargs.get("root", "/root/data/ogb"))
     if name.startswith("igb"):
         return load_igb_npy(**kwargs)
+    if name == "preprocessed":
+        return load_preprocessed(kwargs["path"],
+                                 num_classes=kwargs["num_classes"],
+                                 mmap=kwargs.get("mmap", True))
     raise ValueError(f"unknown dataset {name!r}")
