@@ -23,17 +23,25 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from coala_gnn_tpu.ops.aggregate import padded_gather_sum
+from coala_gnn_tpu.ops.aggregate import agg_sum, neighbor_view
 
 
 class DeviceHeteroBlock(NamedTuple):
-    adj: jax.Array    # int32 [cap_dst, fanout]
+    """``adj is None`` marks the device sampler's contiguous layout (slot
+    (i, k) at input row cap_dst + i*fanout + k) — neighbor access is a free
+    reshape, same fast path as DeviceBlock (ops/aggregate.py)."""
+
+    adj: Any          # int32 [cap_dst, fanout] local indices, or None
     mask: jax.Array   # float32 [cap_dst, fanout]
     rel: jax.Array    # int32 [cap_dst, fanout]
 
     @property
     def cap_dst(self) -> int:
-        return self.adj.shape[0]
+        return self.mask.shape[0]
+
+    @property
+    def fanout(self) -> int:
+        return self.mask.shape[1]
 
 
 def hetero_blocks_to_device(blocks: Sequence[Any]) -> List[DeviceHeteroBlock]:
@@ -64,7 +72,7 @@ class RelSAGEConv(nn.Module):
         for r in range(self.num_rels):
             m = block.mask * (block.rel == r)
             count = jnp.maximum(m.sum(axis=1), 1.0)
-            h = padded_gather_sum(x, block.adj, m) / count[:, None].astype(x.dtype)
+            h = agg_sum(x, block.adj, m) / count[:, None].astype(x.dtype)
             out = out + nn.Dense(self.features, use_bias=False,
                                  dtype=self.dtype, name=f"fc_neigh_r{r}")(h)
         return out
@@ -85,7 +93,7 @@ class RelGraphConv(nn.Module):
             m = block.mask * (block.rel == r)
             deg = m.sum(axis=1)
             norm = jnp.where(deg > 0, 1.0 / deg, 0.0)
-            agg = padded_gather_sum(x, block.adj, m * norm[:, None])
+            agg = agg_sum(x, block.adj, m * norm[:, None])
             out = out + nn.Dense(self.features, dtype=self.dtype,
                                  name=f"fc_r{r}")(agg)
         return out
@@ -115,14 +123,20 @@ class RelGATConv(nn.Module):
                                 (H, F), self.dtype)
             el = jnp.einsum("nhf,hf->nh", feat, attn_l)
             er = jnp.einsum("nhf,hf->nh", feat[: block.cap_dst], attn_r)
-            e = el[block.adj] + er[:, None, :]
+            shape = (block.cap_dst, block.fanout)
+            e = neighbor_view(el, block.adj, shape) + er[:, None, :]
             e = nn.leaky_relu(e, negative_slope=self.negative_slope)
             m = (block.mask * (block.rel == r))[:, :, None]
             e = jnp.where(m > 0, e, jnp.asarray(-1e9, e.dtype))
             alpha = jax.nn.softmax(e, axis=1) * m
-            agg = jnp.zeros((block.cap_dst, H, F), dtype=feat.dtype)
-            for k in range(block.adj.shape[1]):
-                agg = agg + feat[block.adj[:, k]] * alpha[:, k, :, None]
+            if block.adj is None:              # contiguous fast path
+                nbr = neighbor_view(feat, None, shape)
+                agg = jnp.einsum("nkhf,nkh->nhf", nbr,
+                                 alpha.astype(feat.dtype))
+            else:
+                agg = jnp.zeros((block.cap_dst, H, F), dtype=feat.dtype)
+                for k in range(block.fanout):
+                    agg = agg + feat[block.adj[:, k]] * alpha[:, k, :, None]
             out = out + agg.mean(axis=1)
         return out
 

@@ -58,10 +58,14 @@ extern "C" {
 //   deg <= fanout -> all neighbors, exact
 //   deg >  fanout -> fanout draws WITHOUT replacement (Floyd's algorithm)
 // Deterministic given (seed, row position). Parallel over rows.
+// The _typed variant also records each chosen edge's type (hetero graphs,
+// reference models.py:181-280 family); rel_out is 0 on masked slots.
 // ---------------------------------------------------------------------------
-void cg_sample_layer(const int64_t* indptr, const void* indices, int idx_width,
-                     const int64_t* dst_ids, int64_t n_dst, int fanout,
-                     uint64_t seed, int64_t* nbr_out, float* mask_out) {
+static void sample_layer_core(const int64_t* indptr, const void* indices,
+                              int idx_width, const int32_t* edge_types,
+                              const int64_t* dst_ids, int64_t n_dst,
+                              int fanout, uint64_t seed, int64_t* nbr_out,
+                              float* mask_out, int32_t* rel_out) {
 #pragma omp parallel for schedule(dynamic, 256)
   for (int64_t i = 0; i < n_dst; i++) {
     const int64_t v = dst_ids[i];
@@ -69,16 +73,19 @@ void cg_sample_layer(const int64_t* indptr, const void* indices, int idx_width,
     const int64_t deg = indptr[v + 1] - start;
     int64_t* nbr = nbr_out + (int64_t) i * fanout;
     float* mask = mask_out + (int64_t) i * fanout;
+    int32_t* rel = rel_out ? rel_out + (int64_t) i * fanout : nullptr;
 
     if (deg <= (int64_t) fanout) {
       int64_t k = 0;
       for (; k < deg; k++) {
         nbr[k] = idx_at(indices, idx_width, start + k);
         mask[k] = 1.0f;
+        if (rel) rel[k] = edge_types[start + k];
       }
       for (; k < fanout; k++) {
         nbr[k] = v;  // masked slot points at dst itself (safe local mapping)
         mask[k] = 0.0f;
+        if (rel) rel[k] = 0;
       }
     } else {
       std::mt19937_64 rng(mix64(seed ^ mix64((uint64_t) i)));
@@ -96,9 +103,26 @@ void cg_sample_layer(const int64_t* indptr, const void* indices, int idx_width,
       for (int k = 0; k < fanout; k++) {
         nbr[k] = idx_at(indices, idx_width, start + chosen[k]);
         mask[k] = 1.0f;
+        if (rel) rel[k] = edge_types[start + chosen[k]];
       }
     }
   }
+}
+
+void cg_sample_layer(const int64_t* indptr, const void* indices, int idx_width,
+                     const int64_t* dst_ids, int64_t n_dst, int fanout,
+                     uint64_t seed, int64_t* nbr_out, float* mask_out) {
+  sample_layer_core(indptr, indices, idx_width, nullptr, dst_ids, n_dst,
+                    fanout, seed, nbr_out, mask_out, nullptr);
+}
+
+void cg_sample_layer_typed(const int64_t* indptr, const void* indices,
+                           int idx_width, const int32_t* edge_types,
+                           const int64_t* dst_ids, int64_t n_dst, int fanout,
+                           uint64_t seed, int64_t* nbr_out, float* mask_out,
+                           int32_t* rel_out) {
+  sample_layer_core(indptr, indices, idx_width, edge_types, dst_ids, n_dst,
+                    fanout, seed, nbr_out, mask_out, rel_out);
 }
 
 // ---------------------------------------------------------------------------

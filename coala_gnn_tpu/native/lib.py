@@ -51,6 +51,12 @@ def get() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_uint64, _i64p, _f32p]
         lib.cg_sample_layer.restype = None
 
+        lib.cg_sample_layer_typed.argtypes = [
+            _i64p, ctypes.c_void_p, ctypes.c_int, _i32p, _i64p,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_uint64, _i64p, _f32p,
+            _i32p]
+        lib.cg_sample_layer_typed.restype = None
+
         lib.cg_color_graph.argtypes = [
             _i64p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int64,
             _i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_double,
@@ -102,6 +108,22 @@ def sample_layer(lib: ctypes.CDLL, graph, dst_ids: np.ndarray, fanout: int,
     lib.cg_sample_layer(graph.indptr, idx_ptr, width, dst_ids, n, fanout,
                         seed & (2**64 - 1), nbr, mask)
     return nbr, mask
+
+
+def sample_layer_typed(lib: ctypes.CDLL, graph, dst_ids: np.ndarray,
+                       fanout: int, seed: int
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """sample_layer + per-slot edge types (hetero graphs)."""
+    dst_ids = np.ascontiguousarray(dst_ids, dtype=np.int64)
+    et = np.ascontiguousarray(graph.edge_types, dtype=np.int32)
+    n = dst_ids.shape[0]
+    nbr = np.empty((n, fanout), dtype=np.int64)
+    mask = np.empty((n, fanout), dtype=np.float32)
+    rel = np.empty((n, fanout), dtype=np.int32)
+    idx_ptr, width = _indices_arg(graph.indices)
+    lib.cg_sample_layer_typed(graph.indptr, idx_ptr, width, et, dst_ids, n,
+                              fanout, seed & (2**64 - 1), nbr, mask, rel)
+    return nbr, mask, rel
 
 
 def color_graph(lib: ctypes.CDLL, graph, train_ids: np.ndarray,

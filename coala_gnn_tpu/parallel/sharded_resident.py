@@ -92,7 +92,8 @@ class ShardedResidentTrainer:
                     y[None])
 
         blocks_spec = [jax.tree.map(lambda _: P(DATA_AXIS), b)
-                       for b in _block_struct(len(fanouts))]
+                       for b in _block_struct(len(fanouts),
+                                              g.edge_types is not None)]
         g_specs = jax.tree.map(lambda _: P(), g)
         self._stage_a = jax.jit(shard_map(
             body_a, mesh=mesh,
@@ -457,8 +458,12 @@ class ShardedResidentTrainer:
         return self._stage_b(params, opt_state, key, blocks, feats, y)
 
 
-def _block_struct(n_layers):
-    """Placeholder DeviceBlock list for spec construction (contiguous
-    layout: adj=None is an empty pytree, only mask carries a spec)."""
+def _block_struct(n_layers, hetero: bool = False):
+    """Placeholder block list for spec construction (contiguous layout:
+    adj=None is an empty pytree; mask — and rel for hetero — carry specs)."""
+    if hetero:
+        from coala_gnn_tpu.models.hetero import DeviceHeteroBlock
+        return [DeviceHeteroBlock(adj=None, mask=0, rel=0)
+                for _ in range(n_layers)]
     from coala_gnn_tpu.models.layers import DeviceBlock
     return [DeviceBlock(adj=None, mask=0) for _ in range(n_layers)]

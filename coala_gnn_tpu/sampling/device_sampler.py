@@ -40,6 +40,7 @@ class DeviceGraph(NamedTuple):
     sharded topology)."""
     indptr: jax.Array    # int32/uint32 [num_nodes + 2]
     indices: jax.Array   # int32 [num_edges]
+    edge_types: Optional[jax.Array] = None  # int32 [num_edges] (hetero)
 
     @property
     def num_nodes(self) -> int:
@@ -71,15 +72,21 @@ def to_device_graph(graph, force_wide_offsets: bool = False) -> DeviceGraph:
             "use the host pipeline (fits_device_graph gates this)")
     off_dtype = (jnp.uint32 if force_wide_offsets
                  or pad[-1] > np.iinfo(np.int32).max else jnp.int32)
-    return DeviceGraph(indptr=jnp.asarray(pad, off_dtype),
-                       indices=jnp.asarray(np.asarray(graph.indices), jnp.int32))
+    et = getattr(graph, "edge_types", None)
+    return DeviceGraph(
+        indptr=jnp.asarray(pad, off_dtype),
+        indices=jnp.asarray(np.asarray(graph.indices), jnp.int32),
+        edge_types=None if et is None else jnp.asarray(np.asarray(et),
+                                                       jnp.int32))
 
 
 def _sample_layer(g: DeviceGraph, dst: jax.Array, fanout: int,
-                  key: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """One layer: (nbr int32 [n, fanout], mask f32 [n, fanout]).
+                  key: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """One layer: (nbr int32 [n, fanout], mask f32 [n, fanout], rel or None).
     Same slot semantics as the host sampler: deg<=f takes all in order,
-    deg>f draws uniformly with replacement; masked slots point at dst."""
+    deg>f draws uniformly with replacement; masked slots point at dst.
+    Hetero graphs (g.edge_types set) also gather the chosen edges' types."""
     n = dst.shape[0]
     starts = g.indptr[dst]               # int32 or uint32 (wide offsets)
     deg = (g.indptr[dst + 1] - starts).astype(jnp.int32)
@@ -90,9 +97,13 @@ def _sample_layer(g: DeviceGraph, dst: jax.Array, fanout: int,
     rand_off = (rand * jnp.maximum(deg, 1)[:, None]).astype(jnp.int32)
     seq_off = jnp.minimum(k, jnp.maximum(deg[:, None] - 1, 0))
     offsets = jnp.where(deg[:, None] <= fanout, seq_off, rand_off)
-    nbr = g.indices[starts[:, None] + offsets.astype(starts.dtype)]
+    edge_pos = starts[:, None] + offsets.astype(starts.dtype)
+    nbr = g.indices[edge_pos]
     nbr = jnp.where(mask, nbr, dst[:, None])
-    return nbr, mask.astype(jnp.float32)
+    rel = None
+    if g.edge_types is not None:
+        rel = jnp.where(mask, g.edge_types[edge_pos], 0)
+    return nbr, mask.astype(jnp.float32), rel
 
 
 def _dedup_first_occurrence(cat: jax.Array, sentinel: int
@@ -175,7 +186,7 @@ def sample_blocks_device(g: DeviceGraph, seeds: jax.Array,
             dst = jnp.where(valid_dst, dst, sentinel)
 
         key, sub = jax.random.split(key)
-        nbr, mask = _sample_layer(g, dst, fanout, sub)
+        nbr, mask, rel = _sample_layer(g, dst, fanout, sub)
         cat = jnp.concatenate([dst, nbr.reshape(-1)])
         if dedup:
             uniq, local, num = _dedup_first_occurrence(cat, sentinel)
@@ -190,5 +201,9 @@ def sample_blocks_device(g: DeviceGraph, seeds: jax.Array,
             valid_dst = cat != sentinel
             num = valid_dst.sum(dtype=jnp.int32)
             dst = cat
-        blocks.insert(0, DeviceBlock(adj=adj, mask=mask))
+        if rel is None:
+            blocks.insert(0, DeviceBlock(adj=adj, mask=mask))
+        else:
+            from coala_gnn_tpu.models.hetero import DeviceHeteroBlock
+            blocks.insert(0, DeviceHeteroBlock(adj=adj, mask=mask, rel=rel))
     return blocks, ids, num

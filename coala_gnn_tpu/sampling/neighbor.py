@@ -158,14 +158,15 @@ class NeighborSampler:
                 self._native = None
 
     def _sample_layer(self, dst_ids, fanout):
-        # Hetero graphs need per-slot edge types -> NumPy path (the native
-        # kernel returns neighbor ids only; typed sampling lands there later).
-        if self._native is not None and self.graph.edge_types is None:
+        if self._native is not None:
             from coala_gnn_tpu.native import lib as native_lib
-            nbr, mask = native_lib.sample_layer(
-                self._native, self.graph, dst_ids, fanout,
-                int(self.rng.integers(0, 2**63 - 1)))
-            return nbr, mask, None
+            seed = int(self.rng.integers(0, 2**63 - 1))
+            if self.graph.edge_types is None:
+                nbr, mask = native_lib.sample_layer(
+                    self._native, self.graph, dst_ids, fanout, seed)
+                return nbr, mask, None
+            return native_lib.sample_layer_typed(
+                self._native, self.graph, dst_ids, fanout, seed)
         return _sample_layer_numpy(self.graph, dst_ids, fanout, self.rng)
 
     def sample(self, seeds: np.ndarray) -> SampledBatch:

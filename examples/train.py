@@ -341,9 +341,6 @@ def main(argv=None):
 
     if args.pipeline == "resident":
         from coala_gnn_tpu.sampling.device_sampler import fits_device_graph
-        if hetero:
-            raise SystemExit("--pipeline resident supports homogeneous "
-                             "models (sage/gcn/gat) in this version")
         if cache is None:
             raise SystemExit("--pipeline resident requires --cache_size > 0")
         if not fits_device_graph(ds.graph.num_nodes, ds.graph.num_edges):

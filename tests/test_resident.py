@@ -281,3 +281,44 @@ def test_fused_window_cold_cache_prefetches(setup):
     _, _, losses2, _ = rt2.train_window(params2, opt2, grid, jax.random.key(1))
     np.testing.assert_allclose(np.asarray(losses), np.asarray(losses2),
                                rtol=1e-6)
+
+
+def test_hetero_resident_trains():
+    """rgcn through the device-resident pipeline (VERDICT r1 item 8): the
+    device sampler carries per-slot edge types, the fused window runs, and
+    loss decreases."""
+    from coala_gnn_tpu.models.hetero import make_hetero_model
+
+    ds = synthetic_graph(num_nodes=2000, avg_degree=8, feature_dim=16,
+                         num_classes=4, seed=31)
+    rng = np.random.default_rng(2)
+    ds.graph.edge_types = rng.integers(0, 3,
+                                       ds.graph.num_edges).astype(np.int32)
+    ds.graph.num_edge_types = 3
+    store = HostFeatureStore(ds.features)
+    cfg = fc.make_config(cache_mb=8, dim=16, num_colors=0)
+    model = make_hetero_model("rgcn", hidden=16, num_classes=4, num_rels=3,
+                              num_layers=2, dropout=0.0)
+    rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                         labels=ds.labels, cache_cfg=cfg, model=model,
+                         tx=optax.adam(1e-2), fanouts=[4, 3], batch_size=32)
+    rt.prewarm(np.arange(2000, dtype=np.int32))
+    assert rt.g.edge_types is not None
+
+    resolved = rt.resolve(rt.begin(ds.train_idx[:32], jax.random.key(0)))
+    # blocks carry edge types on the device path
+    assert resolved[0][0].rel is not None
+    import jax.numpy as jnp
+    params = model.init(jax.random.key(1), resolved[0], resolved[1])
+    opt_state = rt.tx.init(params)
+
+    grids = np.stack([
+        np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                  .astype(np.int32) for _ in range(4)])
+        for _ in range(3)])
+    params, opt_state, losses, edges = rt.train_windows(
+        params, opt_state, grids, jax.random.key(2))
+    larr = np.asarray(losses)
+    assert np.isfinite(larr).all()
+    assert larr[-3:].mean() < larr[:3].mean()   # learning
+    assert float(np.asarray(edges).sum()) > 0

@@ -226,3 +226,54 @@ def test_sharded_fused_window(setup):
         assert np.isfinite(losses).all()
         losses_all.extend(losses.tolist())
     assert losses_all[-1] < losses_all[0]
+
+
+def test_sharded_hetero_resident_trains():
+    """rgcn through the multi-device resident pipeline: typed blocks flow
+    through shard_map stage_a and the fused window (VERDICT r1 item 8)."""
+    from coala_gnn_tpu.models.hetero import make_hetero_model
+
+    ds = synthetic_graph(num_nodes=3000, avg_degree=8, feature_dim=16,
+                         num_classes=4, seed=41)
+    rng = np.random.default_rng(5)
+    ds.graph.edge_types = rng.integers(0, 3,
+                                       ds.graph.num_edges).astype(np.int32)
+    ds.graph.num_edge_types = 3
+    store = HostFeatureStore(ds.features)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    cfg = fc.CacheConfig(num_sets=64, ways=fc.WAYS, dim=16,
+                         cache_dim=fc.round_cache_dim(16), num_colors=0,
+                         num_shards=n_dev)
+    cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="sharded")
+    model = make_hetero_model("rgcn", hidden=16, num_classes=4, num_rels=3,
+                              num_layers=2, dropout=0.0)
+    rt = ShardedResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                                labels=ds.labels, cache=cache, model=model,
+                                tx=optax.adam(1e-2), fanouts=[4, 3],
+                                batch_size=16)
+    B = 16
+    resolved = rt.resolve(rt.begin(_seed_grid(ds, rng, n_dev, B),
+                                   jax.random.key(0)))
+    assert resolved[0][0].rel is not None
+    import jax.numpy as jnp
+    single = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]),
+                          resolved[0])
+    params = model.init(jax.random.key(1), single,
+                        jnp.asarray(np.asarray(resolved[1])[0]))
+    opt_state = rt.tx.init(params)
+    losses = []
+    for i in range(3):
+        resolved = rt.resolve(rt.begin(_seed_grid(ds, rng, n_dev, B),
+                                       jax.random.key(10 + i)))
+        params, opt_state, loss, acc = rt.train_step(
+            params, opt_state, jax.random.key(20 + i), resolved)
+        losses.append(float(np.asarray(loss).reshape(-1)[0]))
+    assert np.isfinite(losses).all()
+
+    # fused window with typed blocks
+    grid = np.stack([_seed_grid(ds, rng, n_dev, B) for _ in range(2)],
+                    axis=1)   # [n_dev, K=2, B]
+    params, opt_state, wl, we = rt.train_window(params, opt_state, grid,
+                                                jax.random.key(30))
+    assert np.isfinite(np.asarray(wl)).all()
