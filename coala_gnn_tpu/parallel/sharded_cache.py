@@ -313,6 +313,11 @@ class ShardedFeatureCache:
 
     def _put(self, local_np, extra_dims: int):
         from coala_gnn_tpu.parallel.multihost import put_local
+        if np.ndim(local_np) and np.shape(local_np)[0] != self.n_local:
+            raise ValueError(
+                f"expected per-LOCAL-device leading dim {self.n_local}, got "
+                f"{np.shape(local_np)} — the public API takes this "
+                "process's device slices, not the global array")
         return put_local(self.mesh, P(DATA_AXIS, *[None] * extra_dims),
                          local_np)
 

@@ -137,6 +137,22 @@ class ShardedResidentTrainer:
 
         self._stage_b = jax.jit(stage_b)
 
+        def local_eval(params, blocks, x, labels):
+            blocks = jax.tree.map(lambda a: a[0], blocks)
+            logits = model.apply(params, blocks, x[0], train=False)[:B]
+            correct = (logits.argmax(-1) == labels[0]).sum(dtype=jnp.int32)
+            return jax.lax.psum(correct, DATA_AXIS)
+
+        def eval_b(params, blocks, x, labels):
+            params_spec = jax.tree.map(lambda _: P(), params)
+            bspec = jax.tree.map(lambda _: P(DATA_AXIS), blocks)
+            return shard_map(
+                local_eval, mesh=mesh,
+                in_specs=(params_spec, bspec, P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(), check_vma=False)(params, blocks, x, labels)
+
+        self._eval_b = jax.jit(eval_b)
+
         # ---- fused multi-step window (multi-device) ----------------------
         # The window never mutates cache contents (exchange lookups don't
         # evict), so the cache stays OUT of the scan carry and the jit
@@ -456,6 +472,11 @@ class ShardedResidentTrainer:
     def train_step(self, params, opt_state, key, resolved):
         blocks, feats, y = resolved
         return self._stage_b(params, opt_state, key, blocks, feats, y)
+
+    def eval_step(self, params, resolved) -> int:
+        """Jitted DP eval: psum'd correct-prediction count over the mesh."""
+        blocks, feats, y = resolved
+        return int(self._eval_b(params, blocks, feats, y))
 
 
 def _block_struct(n_layers, hetero: bool = False):

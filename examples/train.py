@@ -199,17 +199,8 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
             grid = es.run_domain().reshape(n_dev, B).astype(np.int32)
             key, k1 = jax.random.split(key)
             resolved = rt.resolve(rt.begin(grid, k1))
-            blocks, feats, y = resolved
-            import jax.numpy as jnp
-            feats_np = np.asarray(feats)
-            y_np = np.asarray(y)
-            for d in range(n_dev):
-                bd = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[d]),
-                                  blocks)
-                lg = np.asarray(model.apply(params, bd,
-                                            jnp.asarray(feats_np[d])))[:B]
-                correct += int((lg.argmax(-1) == y_np[d]).sum())
-                total += B
+            correct += rt.eval_step(params, resolved)   # jitted DP eval
+            total += n_dev * B
         print(f"Test accuracy: {correct / max(total, 1):.4f} ({total} nodes)")
 
 

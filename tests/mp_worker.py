@@ -82,8 +82,61 @@ def main():
         losses = run_train(mesh, n_dev, local, host_id)
         print("LOSSES " + " ".join(f"{v:.8f}" for v in losses), flush=True)
 
+    elif mode == "cache":
+        run_cache(mesh, n_dev, local, host_id)
+
     else:
         raise SystemExit(f"unknown mode {mode}")
+
+
+def run_cache(mesh, n_dev, local, host_id):
+    """ShardedFeatureCache across processes: prewarm (owner-partitioned
+    loads on each process's own devices), fetch with the two-phase
+    exchange, miss repair via the replicated-counter protocol, stats."""
+    from coala_gnn_tpu.cache import feature_cache as fc
+    from coala_gnn_tpu.cache.host_tier import HostFeatureStore
+    from coala_gnn_tpu.parallel.sharded_cache import ShardedFeatureCache
+
+    N, DIM, B = 512, 8, 16
+    rng = np.random.default_rng(9)
+    feats = rng.standard_normal((N, DIM)).astype(np.float32)
+    store = HostFeatureStore(feats)
+    cfg = fc.CacheConfig(num_sets=8, ways=fc.WAYS, dim=DIM,
+                         cache_dim=fc.round_cache_dim(DIM), num_colors=0,
+                         num_shards=n_dev)
+    cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="sharded")
+
+    # prewarm HALF the id space -> later requests mix hits and misses
+    cache.prewarm(np.arange(0, N, 2, dtype=np.int32), store.fetch)
+
+    # deterministic GLOBAL request grid; each process feeds its OWN
+    # devices' slices (the public API's per-local-device contract, same as
+    # the trainer's loader). Rows interleave resident (even) and missing
+    # (odd) ids.
+    ids_global = (np.arange(n_dev * B, dtype=np.int32)
+                  .reshape(n_dev, B) * 3) % N
+    ids = ids_global[cache.local_positions]             # [n_local, B]
+    num_valid = np.full(cache.n_local, B, np.int32)
+    out = cache.fetch(ids, num_valid, store.fetch)
+
+    # every process checks ITS devices' rows against the host truth
+    from coala_gnn_tpu.parallel.multihost import read_local_shards
+    idxs, rows = read_local_shards(out)
+    ok = all(np.allclose(np.asarray(rows[i])[:, :DIM], feats[ids_global[g]],
+                         atol=1e-6)
+             for i, g in enumerate(idxs))
+    print(f"CACHEOK {int(ok)} {idxs}", flush=True)
+    s = cache.stats()
+    print(f"CACHESTATS {s['hits']} {s['misses']}", flush=True)
+
+    # second fetch of the same ids must now fully hit (misses were filled)
+    out2 = cache.fetch(ids, num_valid, store.fetch)
+    idxs2, rows2 = read_local_shards(out2)
+    ok2 = all(np.allclose(np.asarray(rows2[i])[:, :DIM],
+                          feats[ids_global[g]], atol=1e-6)
+              for i, g in enumerate(idxs2))
+    s2 = cache.stats()
+    print(f"CACHEOK2 {int(ok2)} {s2['hits']} {s2['misses']}", flush=True)
 
 
 def run_train(mesh, n_dev, local, host_id):

@@ -101,3 +101,20 @@ def test_two_process_training_matches_single_process():
     assert len(losses_mp) == 4
     np.testing.assert_allclose(losses_mp, losses_sp, rtol=1e-6, atol=1e-7)
     assert np.isfinite(losses_mp).all()
+
+
+def test_two_process_sharded_cache():
+    """ShardedFeatureCache across 2 processes: prewarm partitions by owner,
+    the exchange fetch returns exact rows on every process's devices, the
+    replicated miss protocol fills owners, and a refetch fully hits."""
+    outs = _spawn("cache")
+    for out in outs:
+        ok, *_ = _grep(out, "CACHEOK").split()
+        assert ok == "1", out
+        hits, misses = map(int, _grep(out, "CACHESTATS").split())
+        assert misses > 0           # odd ids were not prewarmed
+        assert hits > 0
+        ok2, h2, m2 = _grep(out, "CACHEOK2").split()
+        assert ok2 == "1", out
+        assert int(m2) == 0, out    # second pass: misses were admitted
+        assert int(h2) > 0
