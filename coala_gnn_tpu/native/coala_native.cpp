@@ -161,8 +161,8 @@ static int64_t color_graph_core(const int64_t* indptr, const void* indices,
   const int64_t color_counter = n_seeds + 1;
 
   // hop-0 pre-step: adopt uncolored train 1-hop neighbors into seed colors.
-  const size_t n_seeds = buf[0].size();
-  for (size_t s = 0; s < n_seeds; s++) {
+  const size_t n_initial = buf[0].size();
+  for (size_t s = 0; s < n_initial; s++) {
     const int64_t v = buf[0][s].first;
     const int64_t c = buf[0][s].second;
     for (int64_t e = indptr[v]; e < indptr[v + 1]; e++) {
