@@ -56,8 +56,15 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
     from coala_gnn_tpu.parallel.resident import ResidentTrainer
 
     store = HostFeatureStore(ds.features)
+    quant = bool(int(os.environ.get("BENCH_QUANT", 0)))
     cfg = fc.make_config(cache_mb=cache_mb, dim=dim, num_colors=0,
-                         dtype=jnp.bfloat16 if bf16 else jnp.float32)
+                         dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                         quantize=quant)
+    if quant and cfg.capacity < ds.graph.num_nodes:
+        log(f"bench[{tag}]: quantize needs the flat tier; disabling under "
+            "capacity pressure")
+        cfg = fc.make_config(cache_mb=cache_mb, dim=dim, num_colors=0,
+                             dtype=jnp.bfloat16 if bf16 else jnp.float32)
     model_dtype = (jnp.bfloat16 if os.environ.get("BENCH_MODEL_DTYPE",
                                                   "") == "bfloat16"
                    else jnp.float32)

@@ -69,15 +69,27 @@ class CacheConfig:
     num_colors: int     # 0 disables color tracking
     num_shards: int = 1  # devices the distributed cache spans (1 = private)
     dtype: jnp.dtype = jnp.float32
+    quantize: bool = False  # int8 lines + per-row f32 absmax scale:
+                            # 4x (vs f32) the capacity per MB and 1/4 the
+                            # lookup-gather HBM traffic; dequant fuses into
+                            # the consumer. The reference has no quantized
+                            # tier (GPU cache stores raw f32 pages,
+                            # ssd_gnn_cache.cuh:96); on TPU the HBM-bound
+                            # gather makes it a first-class lever.
 
     @property
     def capacity(self) -> int:
         return self.num_sets * self.ways
 
     @property
+    def line_bytes(self) -> int:
+        if self.quantize:
+            return self.cache_dim + 4        # int8 row + f32 scale
+        return self.cache_dim * jnp.dtype(self.dtype).itemsize
+
+    @property
     def size_mb(self) -> float:
-        bytes_per = jnp.dtype(self.dtype).itemsize
-        return self.capacity * self.cache_dim * bytes_per / 2**20
+        return self.capacity * self.line_bytes / 2**20
 
 
 class CacheState(NamedTuple):
@@ -91,15 +103,16 @@ class CacheState(NamedTuple):
 
 def make_config(cache_mb: int, dim: int, num_colors: int = 0,
                 num_shards: int = 1, dtype=jnp.float32,
-                min_sets: int = 1) -> CacheConfig:
+                min_sets: int = 1, quantize: bool = False) -> CacheConfig:
     cache_dim = round_cache_dim(dim)
-    bytes_per = jnp.dtype(dtype).itemsize
-    page = cache_dim * bytes_per
+    page = (cache_dim + 4) if quantize \
+        else cache_dim * jnp.dtype(dtype).itemsize
     num_pages = max(int(cache_mb) * 2**20 // page, WAYS)
     num_sets = max(num_pages // WAYS, min_sets)
     return CacheConfig(num_sets=num_sets, ways=WAYS, dim=dim,
                        cache_dim=cache_dim, num_colors=num_colors,
-                       num_shards=num_shards, dtype=dtype)
+                       num_shards=num_shards, dtype=dtype,
+                       quantize=quantize)
 
 
 def init_state(cfg: CacheConfig) -> CacheState:
@@ -311,6 +324,23 @@ def insert_with_colors(cfg: CacheConfig, cstate: ColoredCacheState,
     return ColoredCacheState(base=base, line_colors=line_colors)
 
 
+# ---- int8 quantization (per-row absmax) ----------------------------------
+
+def quantize_rows(rows: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """rows [..., dim] float -> (int8 rows, f32 per-row scales).
+    Symmetric absmax: q = round(x / (absmax/127)); dequant = q * scale."""
+    absmax = jnp.max(jnp.abs(rows.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(rows.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_rows(q: jax.Array, scale: jax.Array,
+                    dtype=jnp.float32) -> jax.Array:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
 # ---- flat (direct-mapped) resident tier ----------------------------------
 #
 # When device HBM can hold EVERY feature row (capacity >= num_nodes), the
@@ -322,29 +352,36 @@ def insert_with_colors(cfg: CacheConfig, cstate: ColoredCacheState,
 # cache > host RAM > disk). ResidentTrainer auto-selects it.
 
 class FlatState(NamedTuple):
-    data: jax.Array          # dtype [num_nodes + 1, dim] (+1 = scratch row)
+    data: jax.Array          # dtype|int8 [num_nodes + 1, dim] (+1 scratch)
     admitted: jax.Array      # uint8 [num_nodes + 1]
     color_counts: jax.Array  # int32 [num_colors + 1]
     hits: jax.Array          # int32 []
     misses: jax.Array        # int32 []
+    scale: Optional[jax.Array] = None  # f32 [num_nodes + 1] (quantize mode)
 
 
 def flat_init(cfg: CacheConfig, num_nodes: int) -> FlatState:
+    data_dtype = jnp.int8 if cfg.quantize else cfg.dtype
     return FlatState(
-        data=jnp.zeros((num_nodes + 1, cfg.dim), dtype=cfg.dtype),
+        data=jnp.zeros((num_nodes + 1, cfg.dim), dtype=data_dtype),
         admitted=jnp.zeros(num_nodes + 1, dtype=jnp.uint8),
         color_counts=jnp.zeros(cfg.num_colors + 1, dtype=jnp.int32),
         hits=jnp.zeros((), dtype=jnp.int32),
-        misses=jnp.zeros((), dtype=jnp.int32))
+        misses=jnp.zeros((), dtype=jnp.int32),
+        scale=(jnp.ones(num_nodes + 1, jnp.float32) if cfg.quantize
+               else None))
 
 
 def flat_lookup(state: FlatState, ids: jax.Array, valid: jax.Array,
                 count_stats: bool = True, assume_hit: bool = False
                 ) -> Tuple[FlatState, jax.Array, jax.Array]:
-    """One gather. assume_hit=True skips the residency-byte gather entirely
-    (valid only when the caller guarantees admission, e.g. a presampled
-    fused window or full prewarm)."""
+    """One gather (plus the tiny scale gather in quantize mode; dequant
+    fuses into the consumer). assume_hit=True skips the residency-byte
+    gather entirely (valid only when the caller guarantees admission, e.g.
+    a presampled fused window or full prewarm)."""
     feats = state.data[ids]
+    if state.scale is not None:
+        feats = dequantize_rows(feats, state.scale[ids])
     if assume_hit:
         hit = valid
     else:
@@ -370,7 +407,13 @@ def flat_insert(cfg: CacheConfig, state: FlatState, ids: jax.Array,
     Color occupancy counts first admissions only."""
     n_nodes = state.data.shape[0] - 1
     slot = jnp.where(valid, ids, n_nodes)         # scratch row for invalid
-    data = state.data.at[slot].set(feats.astype(state.data.dtype))
+    scale = state.scale
+    if scale is not None:
+        q, s = quantize_rows(feats)
+        data = state.data.at[slot].set(q)
+        scale = scale.at[slot].set(s)
+    else:
+        data = state.data.at[slot].set(feats.astype(state.data.dtype))
     if cfg.num_colors > 0:
         # dedup within-batch repeats so a node's color is counted once
         first = _dedup_valid(ids, valid)
@@ -382,7 +425,7 @@ def flat_insert(cfg: CacheConfig, state: FlatState, ids: jax.Array,
     inc_idx = jnp.where(newly & (colors > 0), colors, 0)
     cc = state.color_counts.at[inc_idx].add(1).at[0].set(0)
     return FlatState(data=data, admitted=admitted, color_counts=cc,
-                     hits=state.hits, misses=state.misses)
+                     hits=state.hits, misses=state.misses, scale=scale)
 
 
 def stats(state: CacheState) -> Tuple[CacheState, dict]:

@@ -107,14 +107,15 @@ def _owner_rank(ids: jax.Array, valid: jax.Array, n_dev: int
 
     The shard_map analogue of nccl_split_node_list_kernel
     (cache_kernel.cu:79-91): bucket ids by owner and remember each id's
-    position so responses scatter back."""
+    position so responses scatter back. Sort-free: rank comes from a
+    one-hot prefix sum (device argsort costs 30-50 ms at 67k rows on v5e;
+    the [n, n_dev+1] cumsum is a cheap streaming pass)."""
     n = ids.shape[0]
     owner = jnp.where(valid, ids % n_dev, n_dev)   # invalid -> OOB bucket
-    order = jnp.argsort(owner, stable=True)
-    sorted_owner = owner[order]
-    first = jnp.searchsorted(sorted_owner, sorted_owner, side="left")
-    rank_sorted = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
-    rank = jnp.zeros(n, dtype=jnp.int32).at[order].set(rank_sorted)
+    onehot = (owner[:, None]
+              == jnp.arange(n_dev + 1, dtype=owner.dtype)[None, :])
+    csum = jnp.cumsum(onehot.astype(jnp.int32), axis=0)
+    rank = csum[jnp.arange(n), owner] - 1
     return owner, rank
 
 

@@ -83,6 +83,19 @@ def main():
         traffic = (N * F * D + N * D) * bytes_per
         print(f"{name:24s} {dt * 1e3:8.3f} ms   {traffic / dt / 1e9:8.1f} GB/s")
 
+    # Contiguous-block fast path (the resident pipeline's production
+    # layout, ops/aggregate.py: neighbor rows at [N, N + N*F) of the layer
+    # input — the weighted sum is a streaming multiply-reduce, NO gather).
+    from coala_gnn_tpu.ops.aggregate import agg_sum
+    xc32 = jnp.asarray(rng.normal(size=(N * (1 + F), D)).astype(np.float32))
+    xc16 = xc32.astype(jnp.bfloat16)
+    contig = jax.jit(lambda x, w: agg_sum(x, None, w))
+    for name, x, bytes_per in [("contig agg_sum f32", xc32, 4),
+                               ("contig agg_sum bf16", xc16, 2)]:
+        dt = timeit(contig, x, w)
+        traffic = (N * F * D + N * D) * bytes_per
+        print(f"{name:24s} {dt * 1e3:8.3f} ms   {traffic / dt / 1e9:8.1f} GB/s")
+
     # Pallas ELL-SpMM kernel (explicit DMA schedule)
     if jax.default_backend() == "tpu":
         from coala_gnn_tpu.ops.pallas_spmm import ell_spmm_pallas

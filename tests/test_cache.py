@@ -182,3 +182,70 @@ def test_insert_overflowing_set_keeps_first_ways_ranks(rng):
     assert (tags >= 0).all() and len(set(tags.tolist())) == 2
     for w in range(2):
         np.testing.assert_allclose(data[w], feats[tags[w]])
+
+
+def test_quantized_flat_tier_roundtrip():
+    """int8 flat tier: insert -> lookup reproduces rows within absmax/127
+    per-row quantization error; capacity math counts 1-byte lines."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    N, D = 200, 32
+    rows = (rng.standard_normal((N, D)) * rng.uniform(0.1, 10, (N, 1))
+            ).astype(np.float32)
+    cfg = fc.CacheConfig(num_sets=8, ways=fc.WAYS, dim=D,
+                         cache_dim=fc.round_cache_dim(D), num_colors=0,
+                         quantize=True)
+    st = fc.flat_init(cfg, N)
+    assert st.data.dtype == jnp.int8 and st.scale is not None
+
+    ids = jnp.arange(N, dtype=jnp.int32)
+    st = fc.flat_insert(cfg, st, ids, jnp.asarray(rows),
+                        jnp.ones(N, bool), jnp.zeros(N, jnp.int32))
+    st, feats, hit = fc.flat_lookup(st, ids, jnp.ones(N, bool))
+    assert bool(hit.all())
+    tol = (np.abs(rows).max(axis=1, keepdims=True) / 127) * 0.5 + 1e-7
+    assert (np.abs(np.asarray(feats) - rows) <= tol + 1e-6).all()
+
+    # quantized capacity: ~4x the f32 line count per MB
+    c32 = fc.make_config(cache_mb=4, dim=128)
+    cq = fc.make_config(cache_mb=4, dim=128, quantize=True)
+    assert cq.capacity > 3.5 * c32.capacity
+
+
+def test_quantized_resident_trains():
+    """ResidentTrainer on the int8 flat tier: fused windows run and learn
+    (quantization noise must not break convergence on separable data)."""
+    import jax
+    import optax
+    from coala_gnn_tpu.graph.datasets import synthetic_graph
+    from coala_gnn_tpu.cache.host_tier import HostFeatureStore
+    from coala_gnn_tpu.models import make_model
+    from coala_gnn_tpu.parallel.resident import ResidentTrainer
+
+    ds = synthetic_graph(num_nodes=2000, avg_degree=8, feature_dim=16,
+                         num_classes=4, seed=17)
+    store = HostFeatureStore(ds.features)
+    cfg = fc.make_config(cache_mb=8, dim=16, quantize=True)
+    assert cfg.capacity >= 2000
+    model = make_model("sage", hidden=16, num_classes=4, num_layers=2,
+                       dropout=0.0)
+    rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                         labels=ds.labels, cache_cfg=cfg, model=model,
+                         tx=optax.adam(1e-2), fanouts=[4, 3], batch_size=32)
+    assert rt.direct
+    rt.prewarm(np.arange(2000, dtype=np.int32))
+
+    rng = np.random.default_rng(0)
+    resolved = rt.resolve(rt.begin(ds.train_idx[:32], jax.random.key(0)))
+    import jax.numpy as jnp
+    params = model.init(jax.random.key(1), resolved[0], resolved[1])
+    opt_state = rt.tx.init(params)
+    grids = np.stack([
+        np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                  .astype(np.int32) for _ in range(4)]) for _ in range(4)])
+    params, opt_state, losses, edges = rt.train_windows(
+        params, opt_state, grids, jax.random.key(2))
+    larr = np.asarray(losses)
+    assert np.isfinite(larr).all()
+    assert larr[-4:].mean() < larr[:4].mean()
