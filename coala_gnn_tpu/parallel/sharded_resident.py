@@ -54,15 +54,37 @@ class ShardedResidentTrainer:
     fanouts: Sequence[int]
     batch_size: int
     colors: Optional[np.ndarray] = None
+    shard_topology: bool = False   # shard indptr/indices over the mesh
+                                   # (papers100M-class graphs; E/n_dev
+                                   # edges per device) instead of
+                                   # replicating them into every HBM
 
     def __post_init__(self):
         mesh = self.cache.mesh
         self.mesh = mesh
         n_route = self.cache.n_route
         cfg, B, fanouts = self.cache.cfg, self.batch_size, list(self.fanouts)
-        g = to_device_graph(self.graph)
+        n_dev_mesh = mesh.devices.size
+        num_nodes = self.graph.num_nodes
+        hetero = getattr(self.graph, "edge_types", None) is not None
+        if self.shard_topology and n_dev_mesh > 1:
+            from coala_gnn_tpu.sampling.sharded_topology import (
+                put_sharded_topology, sample_blocks_sharded)
+            g = put_sharded_topology(self.graph, mesh)
+            g_specs = jax.tree.map(lambda _: P(DATA_AXIS, None), g)
+
+            def sample_fn(g, seeds, key):
+                return sample_blocks_sharded(g, num_nodes, seeds, fanouts,
+                                             B, key, n_dev_mesh)
+        else:
+            g = to_device_graph(self.graph)
+            g_specs = jax.tree.map(lambda _: P(), g)
+
+            def sample_fn(g, seeds, key):
+                return sample_blocks_device(g, seeds, fanouts, B, key,
+                                            dedup=False)
         labels_dev = jnp.asarray(self.labels.astype(np.int32))
-        sentinel = g.num_nodes
+        sentinel = num_nodes
         model, tx = self.model, self.tx
         state_specs = jax.tree.map(lambda _: P(DATA_AXIS), self.cache.state)
 
@@ -76,8 +98,7 @@ class ShardedResidentTrainer:
         def body_a(g, labels_dev, state, seeds, key):
             seeds = seeds[0]                       # [B] this device's slice
             key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-            blocks, ids, num = sample_blocks_device(g, seeds, fanouts, B, key,
-                                                    dedup=False)
+            blocks, ids, num = sample_fn(g, seeds, key)
             valid = ids != sentinel
             local = _to_local(state)
             local, feats, hit, overflow = exchange_lookup(
@@ -92,9 +113,7 @@ class ShardedResidentTrainer:
                     y[None])
 
         blocks_spec = [jax.tree.map(lambda _: P(DATA_AXIS), b)
-                       for b in _block_struct(len(fanouts),
-                                              g.edge_types is not None)]
-        g_specs = jax.tree.map(lambda _: P(), g)
+                       for b in _block_struct(len(fanouts), hetero)]
         self._stage_a = jax.jit(shard_map(
             body_a, mesh=mesh,
             in_specs=(g_specs, P(), state_specs, P(DATA_AXIS), P()),
@@ -177,8 +196,7 @@ class ShardedResidentTrainer:
                 k = jax.random.wrap_key_data(kdata)
                 k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
                 k1, k2 = jax.random.split(k)
-                blocks, ids, num = sample_blocks_device(
-                    g, seeds, fanouts, B, k1, dedup=False)
+                blocks, ids, num = sample_fn(g, seeds, k1)
                 valid = ids != sentinel
                 _, feats, hit, overflow = exchange_lookup(
                     cfg, bucket_cap, n_route, local, ids, valid)
@@ -227,8 +245,7 @@ class ShardedResidentTrainer:
                 k = jax.random.wrap_key_data(kdata)
                 k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
                 k1, _ = jax.random.split(k)
-                _, ids, _ = sample_blocks_device(g, seeds, fanouts, B, k1,
-                                                 dedup=False)
+                _, ids, _ = sample_fn(g, seeds, k1)
                 valid = ids != sentinel
                 hit, overflow = exchange_probe(cfg, bucket_cap, n_route,
                                                local, ids, valid)

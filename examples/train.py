@@ -66,6 +66,11 @@ def parse_args(argv=None):
                         "K <= refresh_counter (seed grids use one cache-meta "
                         "snapshot, which is the refresh-cadence contract "
                         "anyway)")
+    p.add_argument("--shard_topology", action="store_true",
+                   help="resident pipeline: shard indptr/indices over the "
+                        "mesh (E/n_dev edges per device; papers100M-class "
+                        "graphs) instead of replicating them; frontier "
+                        "neighbors route via all_gather + psum_scatter")
     p.add_argument("--distribution", type=str, default="baseline",
                    choices=["baseline", "node_color"])
     p.add_argument("--refresh_counter", type=int, default=8)
@@ -111,8 +116,10 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
     rt = ShardedResidentTrainer(
         graph=ds.graph, host_fetch=store.fetch, labels=ds.labels,
         cache=cache, model=model, tx=tx, fanouts=fanouts, batch_size=B,
-        colors=None if meta is None else meta.color)
-    print("pipeline: device-resident (seeds-only upload)")
+        colors=None if meta is None else meta.color,
+        shard_topology=bool(getattr(args, "shard_topology", False)))
+    print("pipeline: device-resident (seeds-only upload"
+          + (", sharded topology)" if rt.shard_topology else ")"))
 
     key = jax.random.key(args.seed)
     params = opt_state = None
@@ -334,9 +341,18 @@ def main(argv=None):
         from coala_gnn_tpu.sampling.device_sampler import fits_device_graph
         if cache is None:
             raise SystemExit("--pipeline resident requires --cache_size > 0")
-        if not fits_device_graph(ds.graph.num_nodes, ds.graph.num_edges):
-            # papers100M-symmetrized scale fits (uint32 offsets); beyond
-            # that the replicated topology can't — train via host sampling
+        if (not args.shard_topology
+                and not fits_device_graph(ds.graph.num_nodes,
+                                          ds.graph.num_edges)):
+            if n_dev > 1:
+                # shard the topology over the mesh (E/n_dev per device)
+                print(f"graph ({ds.graph.num_nodes} nodes, "
+                      f"{ds.graph.num_edges} edges) exceeds the replicated "
+                      "device-topology limits; auto-enabling "
+                      "--shard_topology")
+                args.shard_topology = True
+                return _run_resident(args, ds, meta, cache, store, model,
+                                     tx, scheduler, fanouts, B, n_dev, jax)
             print(f"WARNING: graph ({ds.graph.num_nodes} nodes, "
                   f"{ds.graph.num_edges} edges) exceeds the device-resident "
                   "topology limits; falling back to the host pipeline")
