@@ -40,7 +40,7 @@ def _self_baseline():
 
 
 def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
-                 prewarm_frac=1.0, tag="resident"):
+                 prewarm_frac=1.0, tag="resident", quantize=None):
     """Device-resident mode: topology in HBM, sampling+probe in jit; host
     uploads only seeds (~4 KB/step). prewarm_frac < 1 leaves the cache
     under capacity pressure (the regime COALA exists for): only the
@@ -56,15 +56,11 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
     from coala_gnn_tpu.parallel.resident import ResidentTrainer
 
     store = HostFeatureStore(ds.features)
-    quant = bool(int(os.environ.get("BENCH_QUANT", 0)))
+    quant = (bool(int(os.environ.get("BENCH_QUANT", 0)))
+             if quantize is None else quantize)
     cfg = fc.make_config(cache_mb=cache_mb, dim=dim, num_colors=0,
                          dtype=jnp.bfloat16 if bf16 else jnp.float32,
                          quantize=quant)
-    if quant and cfg.capacity < ds.graph.num_nodes:
-        log(f"bench[{tag}]: quantize needs the flat tier; disabling under "
-            "capacity pressure")
-        cfg = fc.make_config(cache_mb=cache_mb, dim=dim, num_colors=0,
-                             dtype=jnp.bfloat16 if bf16 else jnp.float32)
     model_dtype = (jnp.bfloat16 if os.environ.get("BENCH_MODEL_DTYPE",
                                                   "") == "bfloat16"
                    else jnp.float32)
@@ -153,7 +149,9 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
         "config": {"batch": B, "fanout": fanouts, "dim": dim,
                    "hidden": hidden, "nodes": ds.graph.num_nodes,
                    "cache_mb": cache_mb, "model": "sage", "mode": tag,
-                   "feature_dtype": "bfloat16" if bf16 else "float32"},
+                   "feature_dtype": "bfloat16" if bf16 else "float32",
+                   "cache_lines": "int8" if quant else
+                   ("bfloat16" if bf16 else "float32")},
     }
 
 
@@ -208,6 +206,20 @@ def main():
                 "cache_mb": press_mb,
                 "vs_uncached_self_baseline":
                     p["vs_uncached_self_baseline"],
+            }
+            # Same HBM budget, int8 lines (+ per-line scale): ~4x the
+            # lines per MB — the quantized tier turns the pressure budget
+            # back into (near-)full coverage. No reference analogue (the
+            # GPU cache stores raw pages, ssd_gnn_cache.cuh:96).
+            q = run_resident(ds, B, fanouts, dim, hidden, press_mb, bf16,
+                             warmup, steps, tag="resident-pressure-int8",
+                             quantize=True)
+            res["pressure_int8"] = {
+                "value": q["value"], "unit": q["unit"],
+                "cache_hit_ratio": q["cache_hit_ratio"],
+                "cache_mb": press_mb,
+                "vs_uncached_self_baseline":
+                    q["vs_uncached_self_baseline"],
             }
         print(json.dumps(res))
         return

@@ -69,8 +69,9 @@ class CacheConfig:
     num_colors: int     # 0 disables color tracking
     num_shards: int = 1  # devices the distributed cache spans (1 = private)
     dtype: jnp.dtype = jnp.float32
-    quantize: bool = False  # int8 lines + per-row f32 absmax scale:
-                            # 4x (vs f32) the capacity per MB and 1/4 the
+    quantize: bool = False  # int8 lines + per-line f32 absmax scale, in
+                            # BOTH tiers (flat + set-associative): ~4x (vs
+                            # f32) the capacity per MB and 1/4 the
                             # lookup-gather HBM traffic; dequant fuses into
                             # the consumer. The reference has no quantized
                             # tier (GPU cache stores raw f32 pages,
@@ -94,11 +95,13 @@ class CacheConfig:
 
 class CacheState(NamedTuple):
     tags: jax.Array          # int32 [num_sets, ways], -1 = empty
-    data: jax.Array          # dtype [num_sets, ways, cache_dim]
+    data: jax.Array          # dtype|int8 [num_sets, ways, cache_dim]
     rr: jax.Array            # int32 [num_sets] round-robin cursor
     color_counts: jax.Array  # int32 [num_colors + 1] occupancy by color
     hits: jax.Array          # int32 [] since last stats reset
     misses: jax.Array        # int32 []
+    scales: Optional[jax.Array] = None  # f32 [num_sets, ways] per-line
+                                        # absmax scale (quantize mode)
 
 
 def make_config(cache_mb: int, dim: int, num_colors: int = 0,
@@ -116,13 +119,17 @@ def make_config(cache_mb: int, dim: int, num_colors: int = 0,
 
 
 def init_state(cfg: CacheConfig) -> CacheState:
+    data_dtype = jnp.int8 if cfg.quantize else cfg.dtype
     return CacheState(
         tags=jnp.full((cfg.num_sets, cfg.ways), -1, dtype=jnp.int32),
-        data=jnp.zeros((cfg.num_sets, cfg.ways, cfg.cache_dim), dtype=cfg.dtype),
+        data=jnp.zeros((cfg.num_sets, cfg.ways, cfg.cache_dim),
+                       dtype=data_dtype),
         rr=jnp.zeros(cfg.num_sets, dtype=jnp.int32),
         color_counts=jnp.zeros(cfg.num_colors + 1, dtype=jnp.int32),
         hits=jnp.zeros((), dtype=jnp.int32),
         misses=jnp.zeros((), dtype=jnp.int32),
+        scales=(jnp.ones((cfg.num_sets, cfg.ways), jnp.float32)
+                if cfg.quantize else None),
     )
 
 
@@ -150,6 +157,33 @@ def _dedup_valid(ids: jax.Array, valid: jax.Array) -> jax.Array:
     return valid & is_first
 
 
+def quantize_rows(rows: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """rows [..., dim] float -> (int8 rows, f32 per-row scales).
+    Symmetric absmax: q = round(x / (absmax/127)); dequant = q * scale."""
+    absmax = jnp.max(jnp.abs(rows.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(rows.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_rows(q: jax.Array, scale: jax.Array,
+                    dtype=jnp.float32) -> jax.Array:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+def _to_lines(cfg: CacheConfig, feats: jax.Array, n: int
+              ) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Feature rows [n, dim] -> cache lines [n, cache_dim] in the storage
+    dtype (+ per-row scales in quantize mode; None otherwise)."""
+    if cfg.quantize:
+        q, row_scales = quantize_rows(feats)
+        pad = jnp.zeros((n, cfg.cache_dim - cfg.dim), dtype=jnp.int8)
+        return jnp.concatenate([q, pad], axis=1), row_scales
+    pad = jnp.zeros((n, cfg.cache_dim - cfg.dim), dtype=cfg.dtype)
+    return jnp.concatenate([feats.astype(cfg.dtype), pad], axis=1), None
+
+
 def lookup(cfg: CacheConfig, state: CacheState, ids: jax.Array,
            valid: jax.Array, count_stats: bool = True
            ) -> Tuple[CacheState, jax.Array, jax.Array]:
@@ -166,6 +200,8 @@ def lookup(cfg: CacheConfig, state: CacheState, ids: jax.Array,
     hit = match.any(axis=1) & valid
     way = jnp.argmax(match, axis=1)                  # first matching way
     feats = state.data[sets, way, : cfg.dim]         # [n, dim]
+    if state.scales is not None:                     # int8 lines: dequant
+        feats = dequantize_rows(feats, state.scales[sets, way])
     feats = jnp.where(hit[:, None], feats, 0).astype(cfg.dtype)
     if count_stats:
         n_hit = hit.sum(dtype=jnp.int32)
@@ -239,10 +275,12 @@ def insert(cfg: CacheConfig, state: CacheState, ids: jax.Array,
 
     # Scatter updates (drop invalid rows).
     drop_sets = jnp.where(valid, sets, cfg.num_sets)  # OOB -> dropped
-    pad = jnp.zeros((n, cfg.cache_dim - cfg.dim), dtype=cfg.dtype)
-    lines = jnp.concatenate([feats.astype(cfg.dtype), pad], axis=1)
+    lines, row_scales = _to_lines(cfg, feats, n)
     tags = state.tags.at[drop_sets, way].set(ids, mode="drop")
     data = state.data.at[drop_sets, way].set(lines, mode="drop")
+    scales = state.scales
+    if scales is not None:
+        scales = scales.at[drop_sets, way].set(row_scales, mode="drop")
 
     # Advance each set's cursor by how many new lines it admitted.
     per_set_new = jnp.zeros(cfg.num_sets, dtype=jnp.int32).at[
@@ -251,7 +289,7 @@ def insert(cfg: CacheConfig, state: CacheState, ids: jax.Array,
 
     return CacheState(tags=tags, data=data, rr=rr,
                       color_counts=state.color_counts,
-                      hits=state.hits, misses=state.misses)
+                      hits=state.hits, misses=state.misses, scales=scales)
 
 
 class ColoredCacheState(NamedTuple):
@@ -300,10 +338,12 @@ def insert_with_colors(cfg: CacheConfig, cstate: ColoredCacheState,
     victim_color = cstate.line_colors[sets, way]
 
     drop_sets = jnp.where(valid, sets, cfg.num_sets)
-    pad = jnp.zeros((n, cfg.cache_dim - cfg.dim), dtype=cfg.dtype)
-    lines = jnp.concatenate([feats.astype(cfg.dtype), pad], axis=1)
+    lines, row_scales = _to_lines(cfg, feats, n)
     tags = state.tags.at[drop_sets, way].set(ids, mode="drop")
     data = state.data.at[drop_sets, way].set(lines, mode="drop")
+    scales = state.scales
+    if scales is not None:
+        scales = scales.at[drop_sets, way].set(row_scales, mode="drop")
     line_colors = cstate.line_colors.at[
         jnp.where(is_new, sets, cfg.num_sets), way].set(colors, mode="drop")
 
@@ -320,25 +360,8 @@ def insert_with_colors(cfg: CacheConfig, cstate: ColoredCacheState,
     cc = cc.at[0].set(0)  # slot 0 is scratch, keep it clean
 
     base = CacheState(tags=tags, data=data, rr=rr, color_counts=cc,
-                      hits=state.hits, misses=state.misses)
+                      hits=state.hits, misses=state.misses, scales=scales)
     return ColoredCacheState(base=base, line_colors=line_colors)
-
-
-# ---- int8 quantization (per-row absmax) ----------------------------------
-
-def quantize_rows(rows: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """rows [..., dim] float -> (int8 rows, f32 per-row scales).
-    Symmetric absmax: q = round(x / (absmax/127)); dequant = q * scale."""
-    absmax = jnp.max(jnp.abs(rows.astype(jnp.float32)), axis=-1)
-    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
-    q = jnp.clip(jnp.round(rows.astype(jnp.float32) / scale[..., None]),
-                 -127, 127).astype(jnp.int8)
-    return q, scale
-
-
-def dequantize_rows(q: jax.Array, scale: jax.Array,
-                    dtype=jnp.float32) -> jax.Array:
-    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 # ---- flat (direct-mapped) resident tier ----------------------------------

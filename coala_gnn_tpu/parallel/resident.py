@@ -59,10 +59,6 @@ class ResidentTrainer:
         if self.direct is None:
             self.direct = cfg.capacity >= self.graph.num_nodes
         direct = self.direct
-        if cfg.quantize and not direct:
-            raise ValueError("quantize=True currently requires the flat "
-                             "(direct) tier; the associative cache stores "
-                             "cfg.dtype lines")
         if direct:
             self.cache = fc.flat_init(cfg, self.graph.num_nodes)
         else:

@@ -52,19 +52,22 @@ from coala_gnn_tpu.parallel.mesh import DATA_AXIS
 class ShardedCacheState(NamedTuple):
     """Per-device cache shards, leading axis = device (sharded over mesh)."""
     tags: jax.Array          # int32 [n_dev, num_sets, ways]
-    data: jax.Array          # dtype [n_dev, num_sets, ways, cache_dim]
+    data: jax.Array          # dtype|int8 [n_dev, num_sets, ways, cache_dim]
     rr: jax.Array            # int32 [n_dev, num_sets]
     line_colors: jax.Array   # int32 [n_dev, num_sets, ways]
     color_counts: jax.Array  # int32 [n_dev, num_colors + 1]
     hits: jax.Array          # int32 [n_dev]
     misses: jax.Array        # int32 [n_dev]
+    scales: Optional[jax.Array] = None  # f32 [n_dev, num_sets, ways]
 
 
 def _to_local(state: ShardedCacheState) -> fc.ColoredCacheState:
     """Per-device view (leading axis squeezed) -> single-device cache state."""
     base = fc.CacheState(tags=state.tags[0], data=state.data[0], rr=state.rr[0],
                          color_counts=state.color_counts[0],
-                         hits=state.hits[0], misses=state.misses[0])
+                         hits=state.hits[0], misses=state.misses[0],
+                         scales=(None if state.scales is None
+                                 else state.scales[0]))
     return fc.ColoredCacheState(base=base, line_colors=state.line_colors[0])
 
 
@@ -73,7 +76,8 @@ def _from_local(c: fc.ColoredCacheState) -> ShardedCacheState:
     return ShardedCacheState(
         tags=b.tags[None], data=b.data[None], rr=b.rr[None],
         line_colors=c.line_colors[None], color_counts=b.color_counts[None],
-        hits=b.hits[None], misses=b.misses[None])
+        hits=b.hits[None], misses=b.misses[None],
+        scales=None if b.scales is None else b.scales[None])
 
 
 def init_sharded_state(cfg: fc.CacheConfig, mesh: Mesh) -> ShardedCacheState:
@@ -90,6 +94,8 @@ def init_sharded_state(cfg: fc.CacheConfig, mesh: Mesh) -> ShardedCacheState:
 
     np_data = (ml_dtypes.bfloat16 if cfg.dtype == jnp.bfloat16
                else np.dtype(cfg.dtype))
+    if cfg.quantize:
+        np_data = np.int8
     return ShardedCacheState(
         tags=mk((cfg.num_sets, cfg.ways), np.int32, -1),
         data=mk((cfg.num_sets, cfg.ways, cfg.cache_dim), np_data),
@@ -98,6 +104,8 @@ def init_sharded_state(cfg: fc.CacheConfig, mesh: Mesh) -> ShardedCacheState:
         color_counts=mk((cfg.num_colors + 1,), np.int32),
         hits=mk((), np.int32),
         misses=mk((), np.int32),
+        scales=(mk((cfg.num_sets, cfg.ways), np.float32, 1.0)
+                if cfg.quantize else None),
     )
 
 

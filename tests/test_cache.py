@@ -249,3 +249,65 @@ def test_quantized_resident_trains():
     larr = np.asarray(losses)
     assert np.isfinite(larr).all()
     assert larr[-4:].mean() < larr[:4].mean()
+
+
+def test_quantized_associative_roundtrip_and_eviction():
+    """int8 set-associative lines: insert -> lookup dequantizes within
+    per-row absmax/127 error; eviction rewrites both line and scale."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    cfg = fc.CacheConfig(num_sets=4, ways=fc.WAYS, dim=16,
+                         cache_dim=fc.round_cache_dim(16), num_colors=0,
+                         quantize=True)
+    st = fc.init_state(cfg)
+    assert st.data.dtype == jnp.int8 and st.scales is not None
+
+    n = 64
+    ids = jnp.arange(n, dtype=jnp.int32)
+    rows = (rng.standard_normal((n, 16)) *
+            rng.uniform(0.1, 20, (n, 1))).astype(np.float32)
+    st = fc.insert(cfg, st, ids, jnp.asarray(rows), jnp.ones(n, bool))
+    st, feats, hit = fc.lookup(cfg, st, ids, jnp.ones(n, bool))
+    assert bool(hit.all())
+    tol = np.abs(rows).max(axis=1, keepdims=True) / 127 * 0.5 + 1e-6
+    assert (np.abs(np.asarray(feats) - rows) <= tol + 1e-6).all()
+
+    # overwrite id 3's line with a much larger-magnitude row: the scale
+    # must be rewritten too or dequant would be wildly off
+    big = (rng.standard_normal((1, 16)) * 1000).astype(np.float32)
+    st = fc.insert(cfg, st, jnp.asarray([3], jnp.int32), jnp.asarray(big),
+                   jnp.ones(1, bool))
+    st, feats, hit = fc.lookup(cfg, st, jnp.asarray([3], jnp.int32),
+                               jnp.ones(1, bool))
+    assert bool(hit.all())
+    tol = np.abs(big).max() / 127 * 0.5 + 1e-6
+    assert (np.abs(np.asarray(feats) - big) <= tol).all()
+
+
+def test_quantized_sharded_cache_fetch():
+    """Quantized lines through the full sharded exchange: prewarm + fetch
+    reproduces host rows within quantization error on the 8-device mesh."""
+    from coala_gnn_tpu.cache.host_tier import HostFeatureStore
+    from coala_gnn_tpu.parallel.mesh import make_mesh
+    from coala_gnn_tpu.parallel.sharded_cache import ShardedFeatureCache
+
+    mesh8 = make_mesh()
+    n_dev = mesh8.devices.size
+    N, D = 2048, 32
+    rng = np.random.default_rng(4)
+    feats = (rng.standard_normal((N, D)) *
+             rng.uniform(0.5, 5, (N, 1))).astype(np.float32)
+    store = HostFeatureStore(feats)
+    cfg = fc.make_config(cache_mb=4, dim=D, num_shards=n_dev, quantize=True)
+    cache = ShardedFeatureCache(cfg=cfg, mesh=mesh8, mode="sharded")
+    cache.prewarm(np.arange(N, dtype=np.int32), store.fetch)
+
+    ids = rng.integers(0, N, size=(n_dev, 64)).astype(np.int32)
+    num = np.full(n_dev, 64, np.int32)
+    out = np.asarray(cache.fetch(ids, num, store.fetch))
+    want = feats[ids]
+    tol = np.abs(want).max(axis=-1, keepdims=True) / 127 * 0.5 + 1e-6
+    assert (np.abs(out - want) <= tol).all()
+    s = cache.stats()
+    assert s["hit_ratio"] == 1.0
