@@ -90,7 +90,8 @@ class SeedDistributor:
                  topk_colors: Optional[np.ndarray] = None,
                  affinity: Optional[np.ndarray] = None,
                  shuffle_seed: int = 0,
-                 use_native: bool = True):
+                 use_native: bool = True,
+                 drop_tail: bool = True):
         if mode not in ("baseline", "node_color"):
             raise ValueError(f"unknown distribution mode {mode!r}")
         if mode == "node_color" and (color is None or topk_colors is None
@@ -109,9 +110,18 @@ class SeedDistributor:
         rng = np.random.default_rng(shuffle_seed)
         self.items = np.asarray(train_ids, dtype=np.int64).copy()
         rng.shuffle(self.items)
-        # Tail seeds that don't fill a global batch are dropped, like the
-        # reference (COALA_GNN_DataLoader.py:141-151).
-        self.num_iters = len(self.items) // self.global_batch
+        self.drop_tail = drop_tail
+        if drop_tail or len(self.items) == 0:
+            # Tail seeds that don't fill a global batch are dropped, like
+            # the reference (COALA_GNN_DataLoader.py:141-151).
+            self.num_iters = len(self.items) // self.global_batch
+        else:
+            # Exact-epoch mode: every seed is visited each epoch. Static
+            # shapes forbid a ragged last batch, so the final window wraps
+            # around to the epoch's (shuffled) start — the tail batch
+            # re-trains a few early seeds instead of dropping up to
+            # global_batch-1 seeds per epoch.
+            self.num_iters = -(-len(self.items) // self.global_batch)
 
     @property
     def num_colors(self) -> int:
@@ -126,6 +136,10 @@ class SeedDistributor:
         if not 0 <= it < self.num_iters:
             raise IndexError(f"iteration {it} out of range [0, {self.num_iters})")
         window = self.items[it * self.global_batch:(it + 1) * self.global_batch]
+        if len(window) < self.global_batch:    # drop_tail=False final batch
+            window = np.concatenate(           # cyclic wrap (np.resize
+                [window, np.resize(self.items,  # repeats tiny datasets)
+                                   self.global_batch - len(window))])
         if self.mode == "baseline" or cache_meta is None:
             # Contiguous striping: part j gets window[j*domain : (j+1)*domain].
             return window.reshape(self.num_parts, self.domain_batch)

@@ -66,6 +66,11 @@ def parse_args(argv=None):
                         "K <= refresh_counter (seed grids use one cache-meta "
                         "snapshot, which is the refresh-cadence contract "
                         "anyway)")
+    p.add_argument("--keep_tail", action="store_true",
+                   help="exact-epoch mode: visit every seed each epoch by "
+                        "wrap-padding the final global batch (default "
+                        "drops tail seeds like the reference, "
+                        "COALA_GNN_DataLoader.py:141-151)")
     p.add_argument("--shard_topology", action="store_true",
                    help="resident pipeline: shard indptr/indices over the "
                         "mesh (E/n_dev edges per device; papers100M-class "
@@ -199,7 +204,8 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
             DistributionScheduler, SeedDistributor)
         ed = SeedDistributor(ds.test_idx, batch_size=B, local_size=n_dev,
                              num_parts=1, mode="baseline",
-                             shuffle_seed=args.seed)
+                             shuffle_seed=args.seed,
+                             drop_tail=not args.keep_tail)
         es = DistributionScheduler(ed, part_id=0, local_rank=0)
         correct = total = 0
         for _ in range(ed.num_iters):
@@ -284,7 +290,7 @@ def main(argv=None):
         color=None if meta is None else meta.color,
         topk_colors=None if meta is None else meta.topk,
         affinity=None if meta is None else meta.score,
-        shuffle_seed=args.seed)
+        shuffle_seed=args.seed, drop_tail=not args.keep_tail)
     scheduler = DistributionScheduler(
         distributor, part_id=host_id, local_rank=0,
         meta_exchange_fn=(make_meta_exchange_fn(meta.num_colors)
@@ -470,7 +476,8 @@ def main(argv=None):
         # reference eval path (sbatch_ssd_gnn_train.py:156-195).
         eval_distributor = SeedDistributor(
             ds.test_idx, batch_size=B, local_size=n_dev, num_parts=n_hosts,
-            mode="baseline", shuffle_seed=args.seed)
+            mode="baseline", shuffle_seed=args.seed,
+            drop_tail=not args.keep_tail)
         eval_sched = DistributionScheduler(eval_distributor, part_id=host_id,
                                            local_rank=0)
         eval_loader = CoalaDataLoader(scheduler=eval_sched, sampler=sampler,

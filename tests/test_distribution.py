@@ -121,3 +121,36 @@ def test_scheduler_pipeline_covers_stream(colored):
     sched.reset()
     s2 = sched.run()
     assert s2.shape == (B,)
+
+
+def test_drop_tail_false_visits_every_seed():
+    """Exact-epoch mode: ceil iteration count, final window wrap-padded,
+    and the union of all windows covers every train seed."""
+    from coala_gnn_tpu.distribution import SeedDistributor
+
+    ids = np.arange(1000, 1103)           # 103 seeds, global_batch = 16
+    d = SeedDistributor(ids, batch_size=4, local_size=2, num_parts=2,
+                        shuffle_seed=0, drop_tail=False)
+    assert d.num_iters == -(-103 // 16)   # ceil -> 7
+    seen = set()
+    for it in range(d.num_iters):
+        parts = d.distribute(it)
+        assert parts.shape == (2, 8)
+        seen.update(parts.reshape(-1).tolist())
+    assert seen == set(ids.tolist())
+
+    # reference-parity default still drops the tail
+    d2 = SeedDistributor(ids, batch_size=4, local_size=2, num_parts=2,
+                         shuffle_seed=0)
+    assert d2.num_iters == 103 // 16
+
+
+def test_drop_tail_false_tiny_dataset_wraps():
+    from coala_gnn_tpu.distribution import SeedDistributor
+
+    d = SeedDistributor(np.arange(5), batch_size=4, local_size=2,
+                        num_parts=1, shuffle_seed=1, drop_tail=False)
+    assert d.num_iters == 1
+    parts = d.distribute(0)
+    assert parts.shape == (1, 8)
+    assert set(parts.reshape(-1).tolist()) == set(range(5))

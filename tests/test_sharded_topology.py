@@ -180,3 +180,45 @@ def test_resident_trainer_shard_topology_trains(mesh):
     params, opt_state, wlosses, _ = rt.train_window(params, opt_state,
                                                     grids, kw)
     assert np.isfinite(np.asarray(wlosses)).all()
+
+
+def test_sharded_layer_hetero_edge_types(mesh):
+    """Edge-typed graphs: the rel grid rides the same reduce-scatter and
+    each unmasked slot's type matches the (dst, nbr) edge's type."""
+    ds = synthetic_graph(num_nodes=200, avg_degree=5, feature_dim=4,
+                         num_classes=3, seed=4)
+    g = ds.graph
+    rng = np.random.default_rng(2)
+    g.edge_types = rng.integers(0, 3, g.num_edges).astype(np.int32)
+    g.num_edge_types = 3
+    deg = np.asarray(g.indptr[1:]) - np.asarray(g.indptr[:-1])
+    fanout = int(deg.max())          # deterministic take-all slots
+    n_dev = mesh.devices.size
+
+    topo = st.put_sharded_topology(g, mesh)
+    assert topo.edge_types is not None
+    specs = jax.tree.map(lambda _: P(DATA_AXIS, None), topo)
+    dst = rng.integers(0, 200, size=(n_dev, 8)).astype(np.int32)
+    key = jax.random.key(11)
+
+    def body(topo, dst):
+        nbr, mask, rel = st._sample_layer_sharded(
+            topo.indptr[0], topo.indices[0], topo.edge_types[0], dst[0],
+            fanout, jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS)),
+            n_dev, 200)
+        return nbr[None], mask[None], rel[None]
+
+    fn = jax.jit(shard_map(body, mesh=mesh, in_specs=(specs, P(DATA_AXIS)),
+                           out_specs=(P(DATA_AXIS),) * 3, check_vma=False))
+    dst_dev = jax.device_put(dst, NamedSharding(mesh, P(DATA_AXIS, None)))
+    nbr, mask, rel = (np.asarray(a) for a in fn(topo, dst_dev))
+
+    indptr = np.asarray(g.indptr)
+    for d in range(n_dev):
+        for i, v in enumerate(dst[d]):
+            m = mask[d, i].astype(bool)
+            s, e = indptr[v], indptr[v + 1]
+            # take-all order: slot k holds edge s+k, so types align exactly
+            np.testing.assert_array_equal(rel[d, i][m],
+                                          g.edge_types[s:e])
+            assert (rel[d, i][~m] == 0).all()
