@@ -18,6 +18,8 @@ def setup(platform: str = "", cache_dir: str = "/root/.jax_compile_cache") -> No
     n_cpu = os.environ.get("COALA_CPU_DEVICES")
     if platform == "cpu" and n_cpu:
         jax.config.update("jax_num_cpu_devices", int(n_cpu))
+    if os.environ.get("COALA_NO_COMPILE_CACHE"):
+        return
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
