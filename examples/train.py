@@ -66,6 +66,11 @@ def parse_args(argv=None):
                         "K <= refresh_counter (seed grids use one cache-meta "
                         "snapshot, which is the refresh-cadence contract "
                         "anyway)")
+    p.add_argument("--quantize", action="store_true",
+                   help="store cache lines as int8 + per-line absmax scale "
+                        "(~4x lines per MB, 1/4 gather HBM traffic; no "
+                        "reference analogue — the GPU cache stores raw "
+                        "pages, ssd_gnn_cache.cuh:96)")
     p.add_argument("--keep_tail", action="store_true",
                    help="exact-epoch mode: visit every seed each epoch by "
                         "wrap-padding the final global batch (default "
@@ -337,11 +342,12 @@ def main(argv=None):
         cfg = fc.make_config(cache_mb=args.cache_size, dim=ds.feature_dim,
                              num_colors=0 if meta is None else meta.num_colors,
                              num_shards=mesh.devices.size if mode == "sharded" else 1,
-                             dtype=dtype)
+                             dtype=dtype, quantize=args.quantize)
         cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode=mode)
         scheduler.meta_fn = cache.local_color_meta
         print(f"cache[{mode}]: {cfg.num_sets} sets x {cfg.ways} ways "
-              f"({cfg.size_mb:.0f} MB per device)")
+              f"({cfg.size_mb:.0f} MB per device"
+              + (", int8 lines)" if args.quantize else ")"))
 
     if args.pipeline == "resident":
         from coala_gnn_tpu.sampling.device_sampler import fits_device_graph
