@@ -20,6 +20,12 @@ def setup(platform: str = "", cache_dir: str = "/root/.jax_compile_cache") -> No
         jax.config.update("jax_num_cpu_devices", int(n_cpu))
     if os.environ.get("COALA_NO_COMPILE_CACHE"):
         return
+    if not platform and "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        # Tunneled axon backend: persistent-cache writes serialize the
+        # executable over the tunnel and inflate a 31s compile to ~380s
+        # (measured 2026-08-17). Cold compiles are an order of magnitude
+        # cheaper than cached ones there — skip the cache entirely.
+        return
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
