@@ -322,3 +322,52 @@ def test_hetero_resident_trains():
     assert np.isfinite(larr).all()
     assert larr[-3:].mean() < larr[:3].mean()   # learning
     assert float(np.asarray(edges).sum()) > 0
+
+
+def test_quantized_associative_under_pressure_trains():
+    """int8 lines in the ASSOCIATIVE tier (capacity < num_nodes): the
+    presample-repair miss path quantizes on insert, dequantizes on lookup,
+    and fused windows still learn."""
+    import jax
+    import numpy as np
+    import optax
+
+    import coala_gnn_tpu.cache.feature_cache as fc
+    from coala_gnn_tpu.cache.host_tier import HostFeatureStore
+    from coala_gnn_tpu.graph.datasets import synthetic_graph
+    from coala_gnn_tpu.models import make_model
+    from coala_gnn_tpu.parallel.resident import ResidentTrainer
+
+    ds = synthetic_graph(num_nodes=12000, avg_degree=8, feature_dim=32,
+                         num_classes=4, seed=21)
+    store = HostFeatureStore(ds.features)
+    cfg = fc.make_config(cache_mb=1, dim=32, quantize=True)
+    assert cfg.capacity < 12000         # genuine pressure
+    rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                         labels=ds.labels, cache_cfg=cfg,
+                         model=make_model("sage", hidden=16, num_classes=4,
+                                          num_layers=2, dropout=0.0),
+                         tx=optax.adam(1e-2), fanouts=[4, 3], batch_size=32)
+    assert not rt.direct                # associative engine selected
+    assert rt.cache.base.data.dtype == jax.numpy.int8
+
+    rng = np.random.default_rng(0)
+    key = jax.random.key(0)
+    resolved = rt.resolve(rt.begin(
+        rng.choice(12000, 32, replace=False).astype(np.int32),
+        jax.random.key(9)))
+    params = rt.model.init(jax.random.key(1), resolved[0], resolved[1])
+    opt_state = rt.tx.init(params)
+    K = 3
+    losses = []
+    for w in range(6):                  # window API: seeds_grid [K, B]
+        key, kw = jax.random.split(key)
+        grid = np.stack([rng.choice(12000, 32, replace=False)
+                         for _ in range(K)]).astype(np.int32)
+        params, opt_state, wl, _ = rt.train_window(params, opt_state, grid,
+                                                   kw)
+        losses.append(float(np.asarray(wl).mean()))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    s = rt.stats()
+    assert s["hits"] > 0
