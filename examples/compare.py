@@ -39,7 +39,8 @@ def run_config(argv):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--axis", default="distribution",
-                   choices=["distribution", "cache", "model", "fanout"])
+                   choices=["distribution", "cache", "model", "fanout",
+                            "quantize"])
     p.add_argument("--platform", default="")
     p.add_argument("--num_nodes", type=int, default=20000)
     p.add_argument("--feature_dim", type=int, default=64)
@@ -87,6 +88,16 @@ def main():
         configs = {m: base + ["--fan_out", "5,5", "--model_type", m,
                               "--cache_size", str(args.cache_size)]
                    for m in ["sage", "gcn", "gat"]}
+    elif args.axis == "quantize":
+        # f32 vs int8 cache lines at the SAME MB budget (no reference
+        # analogue): int8 holds ~4x the lines, so hit ratio and accuracy
+        # impact are read side by side
+        configs = {
+            "f32_lines": base + ["--fan_out", "5,5",
+                                 "--cache_size", str(args.cache_size)],
+            "int8_lines": base + ["--fan_out", "5,5", "--quantize",
+                                  "--cache_size", str(args.cache_size)],
+        }
     else:  # fanout — the reference grid's "5,5" vs "10,5,5" axis
         configs = {f: base + ["--fan_out", f, "--cache_size", str(args.cache_size)]
                    for f in ["5,5", "10,5,5"]}
