@@ -27,25 +27,44 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _self_baseline():
+def _self_baseline(config=None):
     """Uncached host-fetch self-baseline (edges/s) measured on this chip,
     stored in BASELINE.json by examples/measure_baseline.py (VERDICT r1:
-    no hardcoded constants)."""
+    no hardcoded constants). When ``config`` is given, the stored
+    self_uncached_config must match on the throughput-determining keys or
+    the comparison is refused (ADVICE r2: env-overridable BENCH_* knobs
+    could silently compare across mismatched configurations)."""
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BASELINE.json")) as f:
-            return json.load(f)["published"].get("self_uncached_edges_per_s")
+            pub = json.load(f)["published"]
+        base = pub.get("self_uncached_edges_per_s")
+        stored = pub.get("self_uncached_config", {})
     except Exception:
         return None
+    if base is None or config is None:
+        return base
+    keys = ("batch", "fanout", "dim", "hidden", "nodes", "model")
+    mismatch = {k: (stored.get(k), config[k]) for k in keys
+                if k in config and stored.get(k) != config[k]}
+    if mismatch:
+        log(f"bench: self-baseline config mismatch {mismatch}; "
+            "vs_uncached_self_baseline withheld (re-run "
+            "examples/measure_baseline.py at this config)")
+        return None
+    return base
 
 
 def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
-                 prewarm_frac=1.0, tag="resident", quantize=None):
+                 prewarm_frac=1.0, tag="resident", quantize=None,
+                 priorities=None, stage_transport="auto", window=None):
     """Device-resident mode: topology in HBM, sampling+probe in jit; host
     uploads only seeds (~4 KB/step). prewarm_frac < 1 leaves the cache
     under capacity pressure (the regime COALA exists for): only the
-    highest-degree hub nodes are admitted and the presample-prefetch miss
-    path runs live. Returns the result dict."""
+    highest-degree hub nodes are admitted and the staged miss path runs
+    live (probe bitmap -> host gather of the window's unique miss rows ->
+    sideband stage overlay; priority admission keeps hubs resident).
+    Returns the result dict."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -68,7 +87,9 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
                        num_layers=len(fanouts), dtype=model_dtype)
     rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
                          labels=ds.labels, cache_cfg=cfg, model=model,
-                         tx=optax.adam(1e-3), fanouts=fanouts, batch_size=B)
+                         tx=optax.adam(1e-3), fanouts=fanouts, batch_size=B,
+                         priorities=priorities,
+                         stage_transport=stage_transport)
     t = time.perf_counter()
     n_warm = min(cfg.capacity, ds.graph.num_nodes)
     if prewarm_frac >= 1.0 and cfg.capacity >= ds.graph.num_nodes:
@@ -84,7 +105,11 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
         f"(capacity {cfg.capacity}, {ds.graph.num_nodes} nodes) in "
         f"{time.perf_counter() - t:.1f}s")
 
-    K = int(os.environ.get("BENCH_WINDOW", 8))  # fused steps per dispatch
+    # fused steps per dispatch; pressure regimes default to longer windows
+    # because the staged transfer ships each UNIQUE miss row once per
+    # window — K amortizes the per-window probe/gather toward the "ship
+    # every cold row once" lower bound
+    K = window if window else int(os.environ.get("BENCH_WINDOW", 8))
     rng = np.random.default_rng(0)
     key = jax.random.key(0)
 
@@ -121,6 +146,7 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
     log(f"bench[{tag}]: compile done (fused window K={K}, "
         f"{warm_w} warm windows)")
     rt.stats()
+    rt.timers.reset()   # timers below cover the measured region only
     meas_grids = make_grids(meas_w)
     key, sub = jax.random.split(key)
     t0 = time.perf_counter()
@@ -135,7 +161,19 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
     log(f"bench[{tag}]: {n_done} steps in {dt:.3f}s -> {eps:,.0f} edges/s "
         f"({1000 * dt / n_done:.1f} ms/step, loss {float(loss):.4f}, "
         f"hit {s['hit_ratio']:.3f})")
-    base = _self_baseline()
+    if rt.timers.totals:
+        log(f"bench[{tag}]: measured-region phase timers:\n"
+            + rt.timers.report())
+    config = {"batch": B, "fanout": fanouts, "dim": dim,
+              "hidden": hidden, "nodes": ds.graph.num_nodes,
+              "cache_mb": cache_mb, "model": "sage", "mode": tag,
+              "feature_dtype": "bfloat16" if bf16 else "float32",
+              "cache_lines": "int8" if quant else
+              ("bfloat16" if bf16 else "float32"),
+              "stage_transport": rt.stage_transport,
+              "window": K,
+              "priorities": "degree" if priorities is not None else None}
+    base = _self_baseline(config)
     return {
         "metric": "train_edges_per_s_per_chip",
         "value": round(eps, 1),
@@ -146,12 +184,7 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
         "vs_baseline": None,
         "vs_uncached_self_baseline": (round(eps / base, 2) if base else None),
         "cache_hit_ratio": round(s["hit_ratio"], 4),
-        "config": {"batch": B, "fanout": fanouts, "dim": dim,
-                   "hidden": hidden, "nodes": ds.graph.num_nodes,
-                   "cache_mb": cache_mb, "model": "sage", "mode": tag,
-                   "feature_dtype": "bfloat16" if bf16 else "float32",
-                   "cache_lines": "int8" if quant else
-                   ("bfloat16" if bf16 else "float32")},
+        "config": config,
     }
 
 
@@ -184,6 +217,13 @@ def main():
         int(os.environ.get("BENCH_STEPS", 64))
 
     resident = bool(int(os.environ.get("BENCH_RESIDENT", 1)))
+    if os.environ.get("BENCH_PER_STEP") is not None:
+        # the per-step pipelined A/B engine path was removed in r2; fail
+        # loudly instead of silently ignoring the knob (ADVICE r2)
+        raise SystemExit(
+            "BENCH_PER_STEP was removed (r2): the fused-window resident "
+            "path replaced the per-step A/B engine. Use BENCH_WINDOW=1 "
+            "for near-per-step behavior or examples/compare.py for A/Bs.")
 
     log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")
     ds = synthetic_graph(num_nodes=num_nodes, avg_degree=15, feature_dim=dim,
@@ -193,34 +233,46 @@ def main():
                            warmup, steps)
         if int(os.environ.get("BENCH_PRESSURE", 1)):
             # Capacity-pressure regime (the regime COALA exists for,
-            # VERDICT r1): cache sized to ~50% of the feature set,
-            # degree-prewarmed hubs, live presample-prefetch miss path.
+            # VERDICT r1/r2): cache sized to ~50% of the feature set,
+            # degree-prewarmed hubs protected by priority admission, live
+            # staged miss path (probe bitmap -> unique-row host gather ->
+            # stage overlay). Longer fused windows amortize the staged
+            # transfer toward the ship-each-cold-row-once lower bound.
             cdim = fc.round_cache_dim(dim)
             line_b = cdim * (2 if bf16 else 4)
             press_mb = max(int(num_nodes * 0.5 * line_b) >> 20, 1)
+            pk = int(os.environ.get("BENCH_WINDOW_PRESSURE", 32))
+
+            def summarize(r):
+                return {"value": r["value"], "unit": r["unit"],
+                        "cache_hit_ratio": r["cache_hit_ratio"],
+                        "cache_mb": press_mb,
+                        "stage_transport": r["config"]["stage_transport"],
+                        "vs_uncached_self_baseline":
+                            r["vs_uncached_self_baseline"]}
+
             p = run_resident(ds, B, fanouts, dim, hidden, press_mb, bf16,
-                             warmup, steps, tag="resident-pressure")
-            res["pressure"] = {
-                "value": p["value"], "unit": p["unit"],
-                "cache_hit_ratio": p["cache_hit_ratio"],
-                "cache_mb": press_mb,
-                "vs_uncached_self_baseline":
-                    p["vs_uncached_self_baseline"],
-            }
-            # Same HBM budget, int8 lines (+ per-line scale): ~4x the
+                             warmup, steps, tag="resident-pressure",
+                             priorities="degree",
+                             stage_transport="float32", window=pk)
+            res["pressure"] = summarize(p)
+            # int8 stage TRANSPORT (f32 lines): 4x less host-link traffic
+            # on the miss path — the knob for pressure regimes where the
+            # link, not HBM, is the bottleneck.
+            pt = run_resident(ds, B, fanouts, dim, hidden, press_mb, bf16,
+                              warmup, steps,
+                              tag="resident-pressure-int8-transport",
+                              priorities="degree",
+                              stage_transport="int8", window=pk)
+            res["pressure_int8_transport"] = summarize(pt)
+            # Same HBM budget, int8 LINES (+ per-line scale): ~4x the
             # lines per MB — the quantized tier turns the pressure budget
             # back into (near-)full coverage. No reference analogue (the
             # GPU cache stores raw pages, ssd_gnn_cache.cuh:96).
             q = run_resident(ds, B, fanouts, dim, hidden, press_mb, bf16,
                              warmup, steps, tag="resident-pressure-int8",
                              quantize=True)
-            res["pressure_int8"] = {
-                "value": q["value"], "unit": q["unit"],
-                "cache_hit_ratio": q["cache_hit_ratio"],
-                "cache_mb": press_mb,
-                "vs_uncached_self_baseline":
-                    q["vs_uncached_self_baseline"],
-            }
+            res["pressure_int8"] = summarize(q)
         print(json.dumps(res))
         return
     sampler = NeighborSampler(ds.graph, fanouts, B, seed=0)

@@ -104,7 +104,7 @@ def ell_spmm_pallas(x: jax.Array, adj: jax.Array, w: jax.Array,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_n, fanout), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tile_n, dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

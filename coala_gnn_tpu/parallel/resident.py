@@ -8,11 +8,18 @@ reference's entire host pipeline: UVA sampling (COALA_GNN_DataLoader.py:162),
 request build/send (cache_kernel.cu:4-17) and feature read
 (ssd_gnn_cache.cuh:132-174).
 
-Misses still resolve through the host tier (TPUs cannot reach storage), but
-at steady state the cache absorbs everything and the miss path never runs.
-Multi-device resident mode (shard_map around the same two stages) is the
-natural extension; this class is the single-chip engine used by bench.py's
-resident mode.
+Capacity pressure (the regime COALA exists for) runs through STAGED fused
+windows: a presample probe reports the window's cache misses as a node
+bitmap, the host gathers exactly those unique rows once and uploads them
+into a sideband *stage* buffer, and the fused window overlays stage rows
+onto cache misses with a searchsorted gather. Correctness therefore never
+depends on cache inserts: the cache can reject one-touch rows (priority
+admission, feature_cache.insert_with_colors) and hub lines stay resident
+instead of thrashing — the reference's cache must admit every miss
+(nvshmem_cache.h:417-446) because its output path only reads cache lines.
+Transfer per window is the *unique* miss set, optionally compressed
+(bf16/int8 + per-row scale) across the host link, which is the provable
+lower bound for any backing-store design serving the same misses.
 """
 
 from __future__ import annotations
@@ -31,6 +38,34 @@ from coala_gnn_tpu.sampling.device_sampler import (
     sample_blocks_device,
     to_device_graph,
 )
+from coala_gnn_tpu.sampling.neighbor import block_capacities
+from coala_gnn_tpu.utils.timers import PhaseTimers
+
+INT32_MAX = np.iinfo(np.int32).max
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def encode_stage_rows(rows: np.ndarray, transport: str):
+    """Host-side transport encoding of staged miss rows.
+
+    f32 rows [n, dim] -> (encoded rows, scales or None). int8 is symmetric
+    per-row absmax (identical to the quantized cache-line format,
+    feature_cache.quantize_rows) so a staged row dequantizes to exactly
+    what an int8 cache hit would have served."""
+    if transport == "float32":
+        return rows.astype(np.float32, copy=False), None
+    if transport == "bfloat16":
+        import ml_dtypes
+        return rows.astype(ml_dtypes.bfloat16), None
+    if transport == "int8":
+        absmax = np.abs(rows).max(axis=1)
+        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+        q = np.clip(np.rint(rows / scale[:, None]), -127, 127).astype(np.int8)
+        return q, scale
+    raise ValueError(f"unknown stage transport {transport!r}")
 
 
 @dataclasses.dataclass
@@ -49,6 +84,20 @@ class ResidentTrainer:
     direct: Optional[bool] = None  # None = auto: flat tier iff the cache
                                    # capacity covers every node (see
                                    # feature_cache "flat tier" notes)
+    priorities: Optional[np.ndarray] = None  # f32 [num_nodes] admission
+                                   # priority (e.g. degree); enables
+                                   # priority-aware eviction in the
+                                   # associative tier. "degree" computes
+                                   # in-degree from the graph.
+    stage_transport: str = "auto"  # miss-row encoding across the host
+                                   # link: float32 | bfloat16 | int8;
+                                   # auto = int8 when the cache lines are
+                                   # int8 (same precision as a hit),
+                                   # float32 otherwise
+    stage_admit: bool = True       # offer staged rows to the cache after
+                                   # each window (admission-filtered);
+                                   # False freezes cache contents during
+                                   # fused windows
 
     def __post_init__(self):
         self.g = to_device_graph(self.graph)
@@ -59,36 +108,48 @@ class ResidentTrainer:
         if self.direct is None:
             self.direct = cfg.capacity >= self.graph.num_nodes
         direct = self.direct
+        if isinstance(self.priorities, str):
+            if self.priorities != "degree":
+                raise ValueError(f"unknown priorities {self.priorities!r}")
+            self.priorities = np.diff(
+                np.asarray(self.graph.indptr)).astype(np.float32)
+        if self.stage_transport == "auto":
+            self.stage_transport = "int8" if cfg.quantize else "float32"
+        use_prio = self.priorities is not None and not direct
         if direct:
             self.cache = fc.flat_init(cfg, self.graph.num_nodes)
         else:
-            self.cache = fc.init_colored_state(cfg)
+            self.cache = fc.init_colored_state(cfg, track_prio=use_prio)
+        self._use_prio = use_prio
         g, labels_dev, colors_dev = self.g, self.labels_dev, self.colors_dev
         model, tx = self.model, self.tx
+        self.timers = PhaseTimers()
 
         sentinel = self.g.num_nodes
+        self._cap0 = block_capacities(B, fanouts)[0][1]  # input frontier cap
 
         # engine dispatch: flat (one gather, no eviction) vs associative
         def eng_lookup(cache, ids, valid, count_stats=True, assume_hit=False):
             if direct:
                 return fc.flat_lookup(cache, ids, valid,
                                       count_stats=count_stats,
-                                      assume_hit=assume_hit)
+                                      assume_hit=assume_hit,
+                                      dtype=cfg.dtype)
             base, feats, hit = fc.lookup(cfg, cache.base, ids, valid,
                                          count_stats=count_stats)
-            return (fc.ColoredCacheState(base=base,
-                                         line_colors=cache.line_colors),
-                    feats, hit)
+            return (cache._replace(base=base), feats, hit)
 
         def eng_probe(cache, ids, valid):
             if direct:
                 return fc.flat_probe(cache, ids, valid)
             return fc.probe(cfg, cache.base, ids, valid)
 
-        def eng_insert(cache, ids, rows, valid, colors):
+        def eng_insert(cache, ids, rows, valid, colors, prios=None):
             if direct:
                 return fc.flat_insert(cfg, cache, ids, rows, valid, colors)
-            return fc.insert_with_colors(cfg, cache, ids, rows, valid, colors)
+            return fc.insert_with_colors(cfg, cache, ids, rows, valid,
+                                         colors,
+                                         prios=prios if use_prio else None)
 
         self._eng_insert = eng_insert
 
@@ -127,28 +188,32 @@ class ResidentTrainer:
             logits = model.apply(params, blocks, feats, train=False)[:B]
             return (logits.argmax(-1) == y).sum()
 
-        def repair(cache, feats, ids, positions, rows, colors_m):
-            # merge host-fetched rows + admit them (miss path only)
+        def repair(cache, feats, ids, positions, rows, colors_m, prios_m):
+            # merge host-fetched rows + admit them (per-step miss path only)
             pos = jnp.where(positions >= 0, positions, feats.shape[0])
             feats = feats.at[pos].set(rows.astype(feats.dtype), mode="drop")
             miss_ids = jnp.where(positions >= 0, ids[jnp.clip(positions, 0)], 0)
             cache = eng_insert(cache, miss_ids, rows, positions >= 0,
-                               colors_m)
+                               colors_m, prios_m)
             return cache, feats
 
         # ---- fused multi-step window: K steps per dispatch ---------------
-        # Seeds [K, B] upload once; lax.scan runs sample+probe+train K times
-        # on device. Misses read zero features inside the window, so the
-        # caller must check the returned per-step miss counts and, if any
-        # are nonzero, roll back to the pre-window params and replay those
-        # steps through the exact begin/resolve path (train_window does
-        # this). At steady state (warm cache) the window never replays and
-        # per-step dispatch overhead is divided by K.
-        # The window never mutates cache contents (lookups don't evict), so
-        # the cache stays OUT of the scan carry and the jit outputs: no
-        # multi-hundred-MB pass-through copy per window, and rollback
-        # snapshots stay trivially valid. Hit/miss stats come back as
-        # per-step counts and accumulate host-side (stats()).
+        # Seeds [K, B] upload once; lax.scan runs sample+lookup+train K
+        # times on device. The window never mutates cache contents (lookups
+        # don't evict), so the cache stays OUT of the scan carry and the
+        # jit outputs: no multi-hundred-MB pass-through copy per window.
+        # Hit/miss stats come back as per-step counts and accumulate
+        # host-side (stats()).
+        #
+        # Two variants:
+        #   window        — plain; correct only at full coverage (flat tier
+        #                   fully prewarmed) where misses are impossible.
+        #   window_staged — overlays a sideband stage buffer (the window's
+        #                   presampled unique miss rows) onto cache misses;
+        #                   EXACT at any hit ratio. `unres` counts rows
+        #                   served by neither cache nor stage — guaranteed
+        #                   zero when the probe ran against this cache
+        #                   state; nonzero triggers the replay safety net.
         def window(g, labels_dev, cache, params, opt_state, seeds_grid, key):
             def body(carry, inp):
                 params, opt_state = carry
@@ -170,21 +235,71 @@ class ResidentTrainer:
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 n_edges = sum(b.mask.sum() for b in blocks)
-                return (params, opt_state), (loss, n_miss, n_hit, n_edges)
+                return (params, opt_state), (loss, n_miss, n_hit, n_miss,
+                                             n_edges)
 
             keys = jax.random.split(key, seeds_grid.shape[0])
-            (params, opt_state), (losses, miss, hits, edges) = jax.lax.scan(
-                body, (params, opt_state),
-                (seeds_grid, jax.random.key_data(keys)))
-            return params, opt_state, losses, miss, hits, edges
+            (params, opt_state), (losses, miss, hits, unres, edges) = \
+                jax.lax.scan(body, (params, opt_state),
+                             (seeds_grid, jax.random.key_data(keys)))
+            return params, opt_state, losses, miss, hits, unres, edges
 
         self._window = jax.jit(window)
 
-        # Presample-prefetch: seeds and keys are known before the window, so
-        # the (cheap) sampling + probe can run first and report exactly which
-        # ids the window will miss; one repair insert then GUARANTEES the
-        # fused window hits everything (lookups never evict), eliminating
-        # the rollback-replay cliff when misses trickle.
+        def window_staged(g, labels_dev, cache, stage_ids, stage_rows,
+                          stage_scale, params, opt_state, seeds_grid, key):
+            U = stage_ids.shape[0]
+
+            def body(carry, inp):
+                params, opt_state = carry
+                seeds, k = inp
+                k1, k2 = jax.random.split(jax.random.wrap_key_data(k))
+                blocks, ids, num = sample_blocks_device(g, seeds, fanouts, B,
+                                                        k1, dedup=False)
+                valid = ids != sentinel
+                safe = jnp.where(valid, ids, 0)
+                _, feats, hit = eng_lookup(cache, safe, valid,
+                                           count_stats=False)
+                # stage overlay: binary search of the sorted stage ids
+                pos = jnp.minimum(
+                    jnp.searchsorted(stage_ids, safe).astype(jnp.int32),
+                    U - 1)
+                found = (stage_ids[pos] == safe) & valid & ~hit
+                srows = stage_rows[pos]
+                if stage_scale is not None:
+                    srows = fc.dequantize_rows(srows, stage_scale[pos],
+                                               dtype=feats.dtype)
+                feats = jnp.where(found[:, None], srows.astype(feats.dtype),
+                                  feats)
+                n_hit = hit.sum(dtype=jnp.int32)
+                n_valid = valid.sum(dtype=jnp.int32)
+                n_unres = n_valid - n_hit - found.sum(dtype=jnp.int32)
+                y = labels_dev[seeds]
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, k2, blocks, feats, y)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                n_edges = sum(b.mask.sum() for b in blocks)
+                return (params, opt_state), (loss, n_valid - n_hit, n_hit,
+                                             n_unres, n_edges)
+
+            keys = jax.random.split(key, seeds_grid.shape[0])
+            (params, opt_state), (losses, miss, hits, unres, edges) = \
+                jax.lax.scan(body, (params, opt_state),
+                             (seeds_grid, jax.random.key_data(keys)))
+            return params, opt_state, losses, miss, hits, unres, edges
+
+        self._window_staged = jax.jit(window_staged)
+
+        # Presample probes: seeds and keys are known before the window, so
+        # the (cheap) sampling + residency probe can run first and report
+        # exactly which rows the window will miss. Two output formats:
+        #   flat   — [K*cap] miss-id array (-1 = hit/pad); d2h scales with
+        #            the frontier size
+        #   bitmap — uint8 [num_nodes+1] miss flags; d2h scales with the
+        #            node count and is one bit of entropy per node — the
+        #            natural format whenever nodes < 4*K*cap (the r2 probe
+        #            readback was the pressure regime's first bottleneck)
         def presample(g, cache, seeds_grid, keys):
             def body(_, inp):
                 seeds, k = inp
@@ -202,12 +317,43 @@ class ResidentTrainer:
 
         self._presample = jax.jit(presample)
 
-        def insert_rows(cache, ids_d, rows, colors_d):
+        def presample_bitmap(g, cache, seeds_grid, keys):
+            def body(bm, inp):
+                seeds, k = inp
+                k1, _ = jax.random.split(jax.random.wrap_key_data(k))
+                _, ids, _ = sample_blocks_device(g, seeds, fanouts, B, k1,
+                                                 dedup=False)
+                valid = ids != sentinel
+                hit = eng_probe(cache, jnp.where(valid, ids, 0), valid)
+                miss_ids = jnp.where(valid & ~hit, ids, sentinel)
+                return bm.at[miss_ids].max(jnp.uint8(1)), None
+
+            bm0 = jnp.zeros(sentinel + 1, jnp.uint8)   # last slot = trash
+            bm, _ = jax.lax.scan(body, bm0, (seeds_grid, keys))
+            return bm
+
+        self._presample_bitmap = jax.jit(presample_bitmap)
+
+        def insert_rows(cache, ids_d, rows, colors_d, prios_d):
             return eng_insert(cache, jnp.where(ids_d >= 0, ids_d, 0),
-                              rows, ids_d >= 0, colors_d)
+                              rows, ids_d >= 0, colors_d, prios_d)
 
         self._insert_rows = {}
         self._insert_rows_fn = insert_rows
+
+        # admission-filtered cache offer of a window's staged rows (same
+        # decode as the window's overlay; stage pad id INT32_MAX -> invalid)
+        def insert_stage(cache, stage_ids, stage_rows, stage_scale,
+                         colors_d, prios_d):
+            rows = stage_rows
+            if stage_scale is not None:
+                rows = fc.dequantize_rows(rows, stage_scale)
+            valid = stage_ids != INT32_MAX
+            return eng_insert(cache, jnp.where(valid, stage_ids, 0),
+                              rows.astype(jnp.float32), valid, colors_d,
+                              prios_d)
+
+        self._insert_stage = jax.jit(insert_stage)
 
         self._stage_a = stage_a
         self._stage_b = stage_b
@@ -239,82 +385,120 @@ class ResidentTrainer:
         ids_np = np.asarray(ids)
         need = (~hit_np) & np.asarray(valid)
         pos = np.flatnonzero(need)
-        m_cap = 1 << max(int(pos.size) - 1, 0).bit_length()
+        m_cap = _pow2(pos.size)
         positions = np.full(m_cap, -1, np.int32)
         positions[: pos.size] = pos
         rows = np.zeros((m_cap, self.cache_cfg.dim), np.float32)
-        rows[: pos.size] = self.host_fetch(ids_np[pos].astype(np.int64))
+        with self.timers.time("host_gather"):
+            rows[: pos.size] = self.host_fetch(ids_np[pos].astype(np.int64))
         colors_m = np.zeros(m_cap, np.int32)
         if self.colors is not None:
             colors_m[: pos.size] = self.colors[ids_np[pos]]
+        prios_m = np.zeros(m_cap, np.float32)
+        if self._use_prio:
+            prios_m[: pos.size] = self.priorities[ids_np[pos]]
         key = m_cap
         if key not in self._repair:
             self._repair[key] = jax.jit(self._repair_fn)
         self.cache, feats = self._repair[key](
             self.cache, feats, ids, jnp.asarray(positions),
-            jnp.asarray(rows), jnp.asarray(colors_m))
+            jnp.asarray(rows), jnp.asarray(colors_m), jnp.asarray(prios_m))
         return blocks, feats, y
 
     def train_step(self, params, opt_state, key, resolved):
         blocks, feats, y = resolved
         return self._stage_b(params, opt_state, key, blocks, feats, y)
 
+    # ---- probe / stage plumbing --------------------------------------
     def _probe_window(self, seeds_dev, keys_data):
         """Dispatch the presample residency probe (no host sync). Returns
-        the device miss-id array handle."""
-        _, miss = self._presample(self.g, self.cache, seeds_dev, keys_data)
+        ("bitmap"|"flat", device handle). Format picked by readback size:
+        node bitmap when smaller than the flat [K*cap] int32 array."""
+        K = seeds_dev.shape[0]
+        if self.graph.num_nodes + 1 <= 4 * K * self._cap0:
+            out = self._presample_bitmap(self.g, self.cache, seeds_dev,
+                                         keys_data)
+            fmt = "bitmap"
+        else:
+            _, out = self._presample(self.g, self.cache, seeds_dev, keys_data)
+            fmt = "flat"
         try:
-            miss.copy_to_host_async()
+            out.copy_to_host_async()
         except Exception:
             pass
-        return miss
+        return fmt, out
 
-    def _repair_from_probe(self, miss) -> None:
-        """Read a probe's miss ids (ONE d2h transfer) and repair them with
-        a single batched insert, guaranteeing the fused window hits."""
-        miss = np.asarray(miss)
-        mids = np.unique(miss[miss >= 0])
+    def _probe_miss_ids(self, probe) -> np.ndarray:
+        """Read a probe back (ONE d2h transfer) -> sorted unique miss ids."""
+        fmt, out = probe
+        with self.timers.time("probe_wait"):
+            arr = np.asarray(out)
+        if fmt == "bitmap":
+            return np.flatnonzero(arr[: self.graph.num_nodes]).astype(np.int32)
+        return np.unique(arr[arr >= 0]).astype(np.int32)
+
+    def _build_stage(self, probe):
+        """Probe readback -> host gather of the unique miss rows ->
+        transport-encoded stage pytree on device (upload is async).
+        Returns (stage_ids, stage_rows, stage_scale, colors_d, prios_d)."""
+        mids = self._probe_miss_ids(probe)
+        u_cap = _pow2(max(mids.size, 1))
+        ids_p = np.full(u_cap, INT32_MAX, np.int32)
+        ids_p[: mids.size] = mids
+        rows = np.zeros((u_cap, self.cache_cfg.dim), np.float32)
+        with self.timers.time("host_gather"):
+            if mids.size:
+                rows[: mids.size] = self.host_fetch(mids.astype(np.int64))
+        with self.timers.time("stage_encode"):
+            enc, scale = encode_stage_rows(rows, self.stage_transport)
+        colors_d = np.zeros(u_cap, np.int32)
+        if self.colors is not None and mids.size:
+            colors_d[: mids.size] = self.colors[mids]
+        prios_d = np.zeros(u_cap, np.float32)
+        if self._use_prio and mids.size:
+            prios_d[: mids.size] = self.priorities[mids]
+        with self.timers.time("stage_upload"):
+            stage = (jnp.asarray(ids_p), jnp.asarray(enc),
+                     None if scale is None else jnp.asarray(scale),
+                     jnp.asarray(colors_d), jnp.asarray(prios_d))
+        self.timers.tally("stage_rows", float(mids.size))
+        return stage
+
+    def _offer_stage(self, stage) -> None:
+        """Offer a window's staged rows to the cache (priority admission
+        filters them; without priorities this refreshes like the reference's
+        mandatory miss insert)."""
+        ids_p = stage[0]
+        self.cache = self._insert_stage(self.cache, ids_p, stage[1],
+                                        stage[2], stage[3], stage[4])
+
+    def _repair_from_probe(self, probe) -> None:
+        """Per-step compat path: read a probe's miss ids and insert them
+        (train_window's pre-staged guarantee for the flat tier)."""
+        mids = self._probe_miss_ids(probe)
         if mids.size == 0:
             return
-        m_cap = 1 << max(int(mids.size) - 1, 0).bit_length()
+        m_cap = _pow2(mids.size)
         if m_cap not in self._insert_rows:
             self._insert_rows[m_cap] = jax.jit(self._insert_rows_fn)
         ids_p = np.full(m_cap, -1, np.int32)
         ids_p[: mids.size] = mids
         rows = np.zeros((m_cap, self.cache_cfg.dim), np.float32)
-        rows[: mids.size] = self.host_fetch(mids.astype(np.int64))
+        with self.timers.time("host_gather"):
+            rows[: mids.size] = self.host_fetch(mids.astype(np.int64))
         colors_d = np.zeros(m_cap, np.int32)
         if self.colors is not None:
             colors_d[: mids.size] = self.colors[mids]
+        prios_d = np.zeros(m_cap, np.float32)
+        if self._use_prio:
+            prios_d[: mids.size] = self.priorities[mids]
         self.cache = self._insert_rows[m_cap](
             self.cache, jnp.asarray(ids_p), jnp.asarray(rows),
-            jnp.asarray(colors_d))
+            jnp.asarray(colors_d), jnp.asarray(prios_d))
 
     def _window_keys(self, seeds_grid, key):
         return jax.random.key_data(
             jax.random.split(key, seeds_grid.shape[0]))
-
-    def _dispatch_window(self, params, opt_state, seeds_grid, key,
-                         sync_miss: bool = True, prefetch: bool = True):
-        """Upload seeds, prefetch misses (unless full coverage or the
-        caller already repaired via a pipelined probe) and dispatch one
-        fused window. Returns (params', opt', losses, miss, hits, edges).
-        sync_miss starts the miss array's d2h transfer early (single-window
-        callers); batched callers fold counters and transfer once instead."""
-        seeds_dev = jnp.asarray(np.ascontiguousarray(seeds_grid, np.int32))
-        if prefetch and not self.full_coverage:
-            # full coverage -> every probe hits by construction; skip the
-            # presample pass entirely (the replay net still guards).
-            self._repair_from_probe(self._probe_window(
-                seeds_dev, self._window_keys(seeds_grid, key)))
-        out = self._window(self.g, self.labels_dev, self.cache, params,
-                           opt_state, seeds_dev, key)
-        if sync_miss:
-            try:
-                out[3].copy_to_host_async()
-            except Exception:
-                pass
-        return out
 
     def _replay_window(self, params, opt_state, seeds_grid, key):
         """Precise per-step replay with miss repair (the safety net)."""
@@ -328,87 +512,110 @@ class ResidentTrainer:
             out_edges.append(sum(b.mask.sum() for b in resolved[0]))
         return params, opt_state, jnp.stack(out_losses), jnp.stack(out_edges)
 
-    def _count_window(self, miss, hits) -> int:
-        """Fold a window's per-step counters into the stats accumulators;
-        returns the window's total miss count."""
-        m = int(np.asarray(miss).sum())
-        self.hits += int(np.asarray(hits).sum())
-        self.misses += m
-        return m
-
     def train_window(self, params, opt_state, seeds_grid: np.ndarray, key):
         """K fused steps in one dispatch. seeds_grid int32 [K, B].
+        Returns (params', opt_state', losses [K], edges [K])."""
+        return self.train_windows(params, opt_state, seeds_grid[None], key,
+                                  _keys=[key])
 
-        Returns (params', opt_state', losses [K], edges [K]). The window is
-        presampled and its misses prefetched first, so the fused pass is
-        guaranteed to hit; the rollback-replay path remains as a safety net
-        (it can only trigger if the prefetch insert itself evicted a line
-        another step needed — possible only under extreme set pressure)."""
-        params0, opt0 = params, opt_state
-        params, opt_state, losses, miss, hits, edges = self._dispatch_window(
-            params, opt_state, seeds_grid, key)
-        if self._count_window(miss, hits) == 0:
-            return params, opt_state, losses, edges
-        # precise replay: roll back and run each step with miss repair
-        return self._replay_window(params0, opt0, seeds_grid, key)
+    def train_windows(self, params, opt_state, seeds_grids: np.ndarray, key,
+                      _keys=None):
+        """M fused windows. seeds_grids int32 [M, K, B].
+        Returns (params', opt_state', losses [M*K], edges [M*K]).
 
-    def train_windows(self, params, opt_state, seeds_grids: np.ndarray, key):
-        """M fused windows, fully asynchronous. seeds_grids int32 [M, K, B].
+        Full coverage (flat tier, fully prewarmed): every window dispatches
+        back-to-back with ZERO per-window device->host synchronization; the
+        counters of all M windows fold into one [M, 3] device array read
+        back in a SINGLE transfer (a d2h round trip costs tens of ms on a
+        tunneled device — reading counters per window made the r2 dispatch
+        loop 10x slower than the windows themselves).
 
-        Every window is dispatched back-to-back with ZERO per-window
-        device->host synchronization; the miss counters of all M windows
-        are folded into one [M, 2] device array and read back in a SINGLE
-        transfer at the end. On a tunneled/remote device a d2h round trip
-        costs tens of milliseconds — reading two counters per window made
-        the dispatch loop 10x slower than the windows themselves (this is
-        the r2 bench-regression root cause). Misses are already guaranteed
-        impossible by presample-prefetch (associative) or full coverage
-        (flat tier); if one somehow occurs, the first bad window and the
-        (tainted) tail are replayed per-step.
-        Returns (params', opt_state', losses [M*K], edges [M*K])."""
+        Flat tier under partial coverage: inserts cannot evict, so the
+        probe's miss rows are inserted BEFORE the window (pipelined: probe
+        w+1 dispatches right after window w's repair insert and its
+        readback overlaps window w's compute) and the plain window is
+        guaranteed to hit — `misses` stays 0, matching r2 semantics.
+
+        Associative tier under capacity pressure: the software-pipelined
+        STAGED schedule. Device stream order per window w is
+            window(w) -> insert(stage_w, admission-filtered) -> probe(w+1)
+        so every probe sees EXACTLY the cache state its window will read
+        (nothing mutates the cache between probe and window), making the
+        staged windows exact at any hit ratio; while window w runs on
+        device, the host reads back probe w's bitmap, gathers the unique
+        miss rows, and uploads stage w+1. Stage-served rows count as
+        MISSES (they came from the backing store — the reference's
+        hit/miss semantics, nvshmem_cache.h:404,477). The only host syncs
+        are the probe readbacks and the final counter fold."""
         M = seeds_grids.shape[0]
-        keys = list(jax.random.split(key, M))
+        keys = list(jax.random.split(key, M)) if _keys is None else _keys
         losses_out: list = [None] * M
         edges_out: list = [None] * M
         snaps: list = [None] * M
         counters: list = [None] * M
-        # Software-pipelined prefetch: the residency probe for window w+1 is
-        # dispatched right after window w's repair-insert (so it sees the
-        # post-repair cache) and its d2h readback overlaps window w's
-        # compute — the probe round trip leaves the critical path.
-        probe = None
-        if not self.full_coverage:
+        seeds_dev = [jnp.asarray(np.ascontiguousarray(s, np.int32))
+                     for s in seeds_grids]
+        staged = not self.full_coverage and not self.direct
+        prefill = not self.full_coverage and self.direct
+
+        stage = probe = None
+        if staged:
+            stage = self._build_stage(self._probe_window(
+                seeds_dev[0], self._window_keys(seeds_grids[0], keys[0])))
+        elif prefill:
             probe = self._probe_window(
-                jnp.asarray(np.ascontiguousarray(seeds_grids[0], np.int32)),
-                self._window_keys(seeds_grids[0], keys[0]))
+                seeds_dev[0], self._window_keys(seeds_grids[0], keys[0]))
         for w in range(M):
             snaps[w] = (params, opt_state)
-            if not self.full_coverage:
-                self._repair_from_probe(probe)
+            if staged:
+                with self.timers.time("window_dispatch"):
+                    (params, opt_state, losses, miss, hits, unres,
+                     edges) = self._window_staged(
+                        self.g, self.labels_dev, self.cache, stage[0],
+                        stage[1], stage[2], params, opt_state,
+                        seeds_dev[w], keys[w])
+                if self.stage_admit:
+                    with self.timers.time("insert_dispatch"):
+                        self._offer_stage(stage)
                 if w + 1 < M:
-                    probe = self._probe_window(
-                        jnp.asarray(np.ascontiguousarray(seeds_grids[w + 1],
-                                                         np.int32)),
-                        self._window_keys(seeds_grids[w + 1], keys[w + 1]))
-            params, opt_state, losses, miss, hits, edges = \
-                self._dispatch_window(params, opt_state, seeds_grids[w],
-                                      keys[w], sync_miss=False,
-                                      prefetch=False)   # repaired above
+                    stage = self._build_stage(self._probe_window(
+                        seeds_dev[w + 1],
+                        self._window_keys(seeds_grids[w + 1], keys[w + 1])))
+            else:
+                if prefill:
+                    self._repair_from_probe(probe)
+                    if w + 1 < M:
+                        probe = self._probe_window(
+                            seeds_dev[w + 1],
+                            self._window_keys(seeds_grids[w + 1],
+                                              keys[w + 1]))
+                with self.timers.time("window_dispatch"):
+                    (params, opt_state, losses, miss, hits, unres,
+                     edges) = self._window(
+                        self.g, self.labels_dev, self.cache, params,
+                        opt_state, seeds_dev[w], keys[w])
             losses_out[w], edges_out[w] = losses, edges
-            counters[w] = jnp.stack([miss.sum(), hits.sum()])
+            counters[w] = jnp.stack([miss.sum(), hits.sum(), unres.sum()])
         folded = np.asarray(jnp.stack(counters))        # ONE d2h transfer
         self.misses += int(folded[:, 0].sum())
         self.hits += int(folded[:, 1].sum())
-        bad = np.flatnonzero(folded[:, 0])
+        bad = np.flatnonzero(folded[:, 2])
         if bad.size:
-            # replay the first bad window and everything after it (the tail
-            # consumed post-miss state)
+            # Safety net (unreachable when probes ran in stream order, kept
+            # for defense in depth): replay the first window with
+            # unresolved rows and everything after it (the tail consumed
+            # post-miss state). The replayed steps re-count through the
+            # device counters, so subtract their already-folded window
+            # counts first (ADVICE r2: stats() double-counted replays).
             w0 = int(bad[0])
+            self.misses -= int(folded[w0:, 0].sum())
+            self.hits -= int(folded[w0:, 1].sum())
             params, opt_state = snaps[w0]
-            for w in range(w0, M):
-                params, opt_state, plosses, pedges = self._replay_window(
-                    params, opt_state, seeds_grids[w], keys[w])
-                losses_out[w], edges_out[w] = plosses, pedges
+            with self.timers.time("replay"):
+                for w in range(w0, M):
+                    params, opt_state, plosses, pedges = self._replay_window(
+                        params, opt_state, seeds_grids[w], keys[w])
+                    losses_out[w], edges_out[w] = plosses, pedges
         return (params, opt_state, jnp.concatenate(losses_out),
                 jnp.concatenate(edges_out))
 
@@ -432,8 +639,12 @@ class ResidentTrainer:
             colors_d = np.zeros(chunk, np.int32)
             if self.colors is not None:
                 colors_d[: part.size] = self.colors[part]
+            prios_d = np.zeros(chunk, np.float32)
+            if self._use_prio:
+                prios_d[: part.size] = self.priorities[part]
             self.cache = insert(self.cache, jnp.asarray(grid),
-                                jnp.asarray(rows), jnp.asarray(colors_d))
+                                jnp.asarray(rows), jnp.asarray(colors_d),
+                                jnp.asarray(prios_d))
         # reset stats counters accumulated during prewarm
         self.cache = self._reset_counters(self.cache)
         self.hits = self.misses = 0
@@ -443,9 +654,8 @@ class ResidentTrainer:
         zero = jnp.zeros((), jnp.int32)
         if isinstance(cache, fc.FlatState):
             return cache._replace(hits=zero, misses=zero)
-        return fc.ColoredCacheState(
-            base=cache.base._replace(hits=zero, misses=zero),
-            line_colors=cache.line_colors)
+        return cache._replace(base=cache.base._replace(hits=zero,
+                                                       misses=zero))
 
     def stats(self) -> dict:
         """Device counters (per-step path) + host accumulators (fused

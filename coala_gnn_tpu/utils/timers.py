@@ -18,6 +18,7 @@ class PhaseTimers:
     def __init__(self):
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self.tallies: Dict[str, float] = defaultdict(float)
 
     @contextmanager
     def time(self, phase: str):
@@ -32,10 +33,18 @@ class PhaseTimers:
         self.totals[phase] += seconds
         self.counts[phase] += 1
 
+    def tally(self, name: str, n: float) -> None:
+        """Accumulate a unitless quantity (row counts, bytes) — reported
+        separately from the wall-clock phases."""
+        self.tallies[name] += n
+
     def summary(self) -> Dict[str, Dict[str, float]]:
-        return {k: {"total_s": self.totals[k], "count": self.counts[k],
-                    "mean_ms": 1000 * self.totals[k] / max(self.counts[k], 1)}
-                for k in self.totals}
+        out = {k: {"total_s": self.totals[k], "count": self.counts[k],
+                   "mean_ms": 1000 * self.totals[k] / max(self.counts[k], 1)}
+               for k in self.totals}
+        for k, v in self.tallies.items():
+            out[k] = {"total": v}
+        return out
 
     def report(self) -> str:
         lines = []
@@ -43,8 +52,11 @@ class PhaseTimers:
             lines.append(f"{k:20s} {self.totals[k]:9.3f}s total  "
                          f"{1000 * self.totals[k] / max(self.counts[k], 1):8.2f} ms/call  "
                          f"x{self.counts[k]}")
+        for k in sorted(self.tallies):
+            lines.append(f"{k:20s} {self.tallies[k]:,.0f} total")
         return "\n".join(lines)
 
     def reset(self) -> None:
         self.totals.clear()
         self.counts.clear()
+        self.tallies.clear()

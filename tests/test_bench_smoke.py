@@ -31,3 +31,21 @@ def test_bench_run_resident_quantized():
     assert res["value"] > 0
     assert res["config"]["cache_lines"] == "int8"
     assert res["cache_hit_ratio"] == 1.0
+
+
+def test_bench_run_resident_pressure_staged():
+    """The capacity-pressure configuration bench.py runs on the chip:
+    degree priorities + staged windows + int8 transport, capacity < nodes."""
+    ds = synthetic_graph(num_nodes=3000, avg_degree=8, feature_dim=32,
+                         num_classes=4, seed=0)
+    res = bench.run_resident(ds, B=32, fanouts=[4, 3], dim=32, hidden=32,
+                             cache_mb=1, bf16=False, warmup=2, steps=8,
+                             prewarm_frac=1.0, tag="resident-pressure",
+                             priorities="degree", stage_transport="int8",
+                             window=4)
+    assert res["value"] > 0
+    assert res["config"]["stage_transport"] == "int8"
+    assert res["config"]["priorities"] == "degree"
+    # 1 MB at dim 32 = 2048 lines < 3000 nodes: genuine pressure — the
+    # associative engine ran with partial coverage
+    assert res["cache_hit_ratio"] < 1.0

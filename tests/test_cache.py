@@ -311,3 +311,84 @@ def test_quantized_sharded_cache_fetch():
     assert (np.abs(out - want) <= tol).all()
     s = cache.stats()
     assert s["hit_ratio"] == 1.0
+
+
+def test_priority_admission_protects_hubs(rng):
+    """Priority-aware eviction (VERDICT r2 next #1): with line priorities
+    tracked, a full set rejects lower-priority arrivals outright and a
+    higher-priority arrival evicts the set's LOWEST-priority way — one-touch
+    cold rows can never displace hub lines."""
+    cfg = small_cfg(num_sets=1, num_colors=4)
+    st = fc.init_colored_state(cfg, track_prio=True)
+    n = cfg.ways
+    hub_ids = jnp.asarray(np.arange(n, dtype=np.int32))
+    feats = jnp.asarray(rng.normal(size=(n, cfg.dim)).astype(np.float32))
+    hub_prio = jnp.asarray(np.arange(10.0, 10.0 + n, dtype=np.float32))
+    colors = jnp.ones(n, jnp.int32)
+    st = fc.insert_with_colors(cfg, st, hub_ids, feats, jnp.ones(n, bool),
+                               colors, prios=hub_prio)
+    assert int(st.base.color_counts[1]) == n
+
+    # cold rows with prio below every resident line: all rejected
+    cold_ids = jnp.asarray(np.arange(100, 100 + n, dtype=np.int32))
+    st2 = fc.insert_with_colors(cfg, st, cold_ids, feats,
+                                jnp.ones(n, bool),
+                                2 * jnp.ones(n, jnp.int32),
+                                prios=jnp.ones(n, jnp.float32))
+    hit = fc.probe(cfg, st2.base, hub_ids, jnp.ones(n, bool))
+    assert bool(hit.all()), "cold scan evicted a hub line"
+    assert int(st2.base.color_counts[1]) == n      # occupancy untouched
+    assert int(st2.base.color_counts[2]) == 0      # rejects not counted
+
+    # one high-priority arrival evicts exactly the lowest-priority way
+    vip = jnp.asarray(np.asarray([999], np.int32))
+    st3 = fc.insert_with_colors(cfg, st2, vip, feats[:1],
+                                jnp.ones(1, bool),
+                                3 * jnp.ones(1, jnp.int32),
+                                prios=jnp.asarray([1000.0], jnp.float32))
+    assert bool(fc.probe(cfg, st3.base, vip, jnp.ones(1, bool)).all())
+    hit3 = np.asarray(fc.probe(cfg, st3.base, hub_ids, jnp.ones(n, bool)))
+    assert not hit3[0], "should have evicted the lowest-priority line"
+    assert hit3[1:].all(), "evicted more than the lowest-priority line"
+    assert int(st3.base.color_counts[1]) == n - 1  # victim decremented
+    assert int(st3.base.color_counts[3]) == 1
+
+
+def test_priority_admission_strongest_arrival_wins(rng):
+    """When several arrivals target one set, ranks pair them by DESCENDING
+    priority with ascending victims: the strongest arrival must get in even
+    if listed last."""
+    cfg = small_cfg(num_sets=1)
+    st = fc.init_colored_state(cfg, track_prio=True)
+    n = cfg.ways
+    feats = jnp.asarray(rng.normal(size=(n, cfg.dim)).astype(np.float32))
+    st = fc.insert_with_colors(cfg, st, jnp.arange(n, dtype=jnp.int32),
+                               feats, jnp.ones(n, bool),
+                               jnp.zeros(n, jnp.int32),
+                               prios=5.0 * jnp.ones(n, jnp.float32))
+    # arrivals: [weak, strong] — the strong one (listed second) outranks
+    # every resident; the weak one outranks none
+    ids = jnp.asarray(np.asarray([200, 201], np.int32))
+    st2 = fc.insert_with_colors(cfg, st, ids, feats[:2], jnp.ones(2, bool),
+                                jnp.zeros(2, jnp.int32),
+                                prios=jnp.asarray([1.0, 99.0], jnp.float32))
+    hit = np.asarray(fc.probe(cfg, st2.base, ids, jnp.ones(2, bool)))
+    assert not hit[0] and hit[1]
+
+
+def test_rr_parity_without_priorities(rng):
+    """prios=None preserves the reference round-robin policy byte-for-byte
+    (nvshmem_cache.h:200-212) even on a prio-tracking state."""
+    cfg = small_cfg(num_sets=2)
+    ids = jnp.asarray((np.arange(8) * 2).astype(np.int32))
+    feats = jnp.asarray(rng.normal(size=(8, cfg.dim)).astype(np.float32))
+    a = fc.insert_with_colors(cfg, fc.init_colored_state(cfg), ids, feats,
+                              jnp.ones(8, bool), jnp.zeros(8, jnp.int32))
+    b = fc.insert_with_colors(cfg, fc.init_colored_state(cfg,
+                                                         track_prio=True),
+                              ids, feats, jnp.ones(8, bool),
+                              jnp.zeros(8, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(a.base.tags),
+                                  np.asarray(b.base.tags))
+    np.testing.assert_array_equal(np.asarray(a.base.rr),
+                                  np.asarray(b.base.rr))

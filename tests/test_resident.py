@@ -371,3 +371,125 @@ def test_quantized_associative_under_pressure_trains():
     assert losses[-1] < losses[0]
     s = rt.stats()
     assert s["hits"] > 0
+
+
+def test_staged_windows_exact_under_pressure(setup):
+    """The staged fused window (associative tier, capacity << nodes) must
+    produce EXACTLY the losses of a full-coverage flat run on the same
+    seeds and keys: stage-overlaid miss rows are bit-identical to resident
+    rows (f32 transport), so capacity pressure changes transfer volume,
+    never training results — and the replay safety net must never fire."""
+    ds, store, _, _ = setup
+    model = make_model("sage", hidden=16, num_classes=8, num_layers=2,
+                       dropout=0.0)
+
+    def mk(num_sets, direct):
+        cfg = fc.CacheConfig(num_sets=num_sets, ways=fc.WAYS, dim=32,
+                             cache_dim=fc.round_cache_dim(32), num_colors=0)
+        return ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                               labels=ds.labels, cache_cfg=cfg, model=model,
+                               tx=optax.adam(1e-2), fanouts=[5, 4],
+                               batch_size=32, direct=direct)
+
+    rng = np.random.default_rng(23)
+    M, K = 3, 4
+    grids = np.stack([
+        np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                  for _ in range(K)]) for _ in range(M)]).astype(np.int32)
+
+    def run(rt, prewarm_ids):
+        rt.prewarm(prewarm_ids)
+        resolved = rt.resolve(rt.begin(grids[0, 0], jax.random.key(0)))
+        params = model.init(jax.random.key(0), resolved[0], resolved[1])
+        opt = rt.tx.init(params)
+        rt.stats()
+        out = rt.train_windows(params, opt, grids, jax.random.key(5))
+        return np.asarray(out[2]), rt.stats()
+
+    # reference: flat tier, every row resident
+    ref_losses, _ = run(mk(128, True), np.arange(ds.graph.num_nodes))
+    # pressure: 8 sets x 32 ways = 256 lines for 3000 nodes
+    rt_p = mk(8, False)
+    assert rt_p.cache_cfg.capacity < ds.graph.num_nodes
+    p_losses, s = run(rt_p, np.arange(rt_p.cache_cfg.capacity))
+    np.testing.assert_allclose(p_losses, ref_losses, rtol=1e-5, atol=1e-6)
+    assert s["misses"] > 0            # pressure was real
+    assert "replay" not in rt_p.timers.totals   # safety net never fired
+    assert rt_p.timers.totals.get("host_gather", 0) > 0
+
+
+def test_staged_windows_int8_transport_trains(setup):
+    """int8 stage transport under pressure: 4x less host-link traffic,
+    training still converges, and a staged row dequantizes to exactly what
+    an int8 cache hit would serve (same symmetric absmax quantizer)."""
+    from coala_gnn_tpu.parallel.resident import encode_stage_rows
+
+    import jax.numpy as jnp
+
+    ds, store, _, _ = setup
+    rows = ds.features[:64]
+    q, scale = encode_stage_rows(rows, "int8")
+    qq, ss = fc.quantize_rows(jnp.asarray(rows))
+    np.testing.assert_array_equal(q, np.asarray(qq))
+    np.testing.assert_allclose(scale, np.asarray(ss), rtol=1e-6)
+
+    model = make_model("sage", hidden=16, num_classes=8, num_layers=2,
+                       dropout=0.0)
+    cfg = fc.CacheConfig(num_sets=8, ways=fc.WAYS, dim=32,
+                         cache_dim=fc.round_cache_dim(32), num_colors=0)
+    rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                         labels=ds.labels, cache_cfg=cfg, model=model,
+                         tx=optax.adam(1e-2), fanouts=[5, 4], batch_size=32,
+                         direct=False, stage_transport="int8")
+    rng = np.random.default_rng(29)
+    grids = np.stack([
+        np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                  for _ in range(3)]) for _ in range(4)]).astype(np.int32)
+    resolved = rt.resolve(rt.begin(grids[0, 0], jax.random.key(0)))
+    params = model.init(jax.random.key(0), resolved[0], resolved[1])
+    opt = rt.tx.init(params)
+    params, opt, losses, _ = rt.train_windows(params, opt, grids,
+                                              jax.random.key(1))
+    larr = np.asarray(losses)
+    assert np.isfinite(larr).all()
+    assert larr[-3:].mean() < larr[:3].mean()
+
+
+def test_degree_priorities_resist_scans(setup):
+    """priorities="degree" keeps prewarmed hub lines resident through
+    windows full of cold one-touch rows (scan resistance — the fix for the
+    r2 capacity-pressure thrashing)."""
+    ds, store, _, _ = setup
+    model = make_model("sage", hidden=16, num_classes=8, num_layers=2,
+                       dropout=0.0)
+    cfg = fc.CacheConfig(num_sets=8, ways=fc.WAYS, dim=32,
+                         cache_dim=fc.round_cache_dim(32), num_colors=0)
+    rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                         labels=ds.labels, cache_cfg=cfg, model=model,
+                         tx=optax.adam(1e-2), fanouts=[5, 4], batch_size=32,
+                         direct=False, priorities="degree")
+    deg = np.diff(ds.graph.indptr)
+    hubs = np.argpartition(deg, -cfg.capacity)[-cfg.capacity:]
+    rt.prewarm(hubs.astype(np.int32))
+    import jax.numpy as jnp
+    hit0 = np.asarray(fc.probe(cfg, rt.cache.base,
+                               jnp.asarray(hubs.astype(np.int32)),
+                               jnp.ones(hubs.size, bool)))
+    resident0 = hit0.sum()
+    assert resident0 > 0
+
+    rng = np.random.default_rng(31)
+    grids = np.stack([
+        np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                  for _ in range(3)]) for _ in range(4)]).astype(np.int32)
+    resolved = rt.resolve(rt.begin(grids[0, 0], jax.random.key(0)))
+    params = model.init(jax.random.key(0), resolved[0], resolved[1])
+    opt = rt.tx.init(params)
+    rt.train_windows(params, opt, grids, jax.random.key(1))
+
+    hit1 = np.asarray(fc.probe(cfg, rt.cache.base,
+                               jnp.asarray(hubs.astype(np.int32)),
+                               jnp.ones(hubs.size, bool)))
+    # a hub line may only be displaced by a HIGHER-degree hub, never by the
+    # cold scan: residency of the hub set must not shrink
+    assert hit1.sum() >= resident0

@@ -222,3 +222,105 @@ def test_sharded_layer_hetero_edge_types(mesh):
             np.testing.assert_array_equal(rel[d, i][m],
                                           g.edge_types[s:e])
             assert (rel[d, i][~m] == 0).all()
+
+
+def test_chunked_shard_build_large_offsets_bounded_memory():
+    """papers100M structural readiness (VERDICT r2 next #5): build shards
+    for a mocked graph whose edge OFFSETS exceed 2^31 (int32) without ever
+    materializing the edge array or per-device repeat temporaries. The
+    lazy indices array serves fancy-index reads from a closed-form pattern,
+    so correctness is checkable; tracemalloc bounds the transient
+    footprint."""
+    import tracemalloc
+
+    import numpy as np
+
+    from coala_gnn_tpu.sampling.sharded_topology import shard_topology_arrays
+
+    N = 1 << 16          # 65536 nodes
+    DEG = 40000          # uniform degree -> 2.62e9 edges, offsets > 2^31
+
+    class LazyIndices:
+        """indices[e] = e % 9973 — never materialized."""
+        dtype = np.int64
+
+        def __getitem__(self, pos):
+            return np.asarray(pos) % 9973
+
+    class MockGraph:
+        num_nodes = N
+        indptr = np.arange(N + 1, dtype=np.int64) * DEG
+        indices = LazyIndices()
+        edge_types = None
+
+    n_dev = 4096          # pod-scale mesh: ~640k edges per device
+    assert MockGraph.indptr[-1] > np.iinfo(np.int32).max
+
+    tracemalloc.start()
+    ptrs, idx, et = shard_topology_arrays(MockGraph, n_dev,
+                                          device_ids=[0, 4095],
+                                          chunk_rows=4)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # outputs: 2 devices x 16 rows x 40000 edges x 4B = 5.1 MB; allow
+    # generous slack for the O(chunk) temporaries, nowhere near E-scale
+    assert peak < 64 << 20, f"peak {peak / 2**20:.0f} MB — not streaming"
+
+    rows = -(-N // n_dev)
+    assert ptrs.shape == (2, rows + 1)
+    # global offsets exceed int32, but each device's LOCAL offsets are
+    # small — sharding is exactly what keeps device arrays narrow
+    assert ptrs.dtype == np.int32
+    # device 0 owns nodes 0, 4096, 8192, ...: local row r = node r*4096,
+    # global edge window [node*DEG, (node+1)*DEG)
+    own0 = np.arange(0, N, n_dev, dtype=np.int64)
+    np.testing.assert_array_equal(
+        ptrs[0][: own0.size + 1].astype(np.int64),
+        np.arange(own0.size + 1, dtype=np.int64) * DEG)
+    # spot-check edge values for both devices against the closed form
+    for i, d in enumerate((0, 4095)):
+        own = np.arange(d, N, n_dev, dtype=np.int64)
+        for r in (0, own.size - 1):
+            lo = int(ptrs[i][r])
+            want = (own[r] * DEG + np.arange(5)) % 9973
+            np.testing.assert_array_equal(idx[i, lo: lo + 5], want)
+    # padded local rows carry degree 0
+    assert int(ptrs[0][rows]) == int(ptrs[0][own0.size])
+
+
+def test_chunked_build_matches_reference_build():
+    """The chunked/subset builder must produce byte-identical shards to a
+    straightforward per-device build on a real graph (with edge types)."""
+    import numpy as np
+
+    from coala_gnn_tpu.graph.datasets import synthetic_graph
+    from coala_gnn_tpu.sampling.sharded_topology import shard_topology_arrays
+
+    ds = synthetic_graph(num_nodes=999, avg_degree=7, feature_dim=8,
+                         num_classes=4, seed=3)
+    rng = np.random.default_rng(0)
+    ds.graph.edge_types = rng.integers(
+        0, 3, ds.graph.num_edges).astype(np.int32)
+    n_dev = 4
+    full_p, full_i, full_e = shard_topology_arrays(ds.graph, n_dev)
+
+    # naive reference build
+    indptr = np.asarray(ds.graph.indptr, np.int64)
+    for d in range(n_dev):
+        own = np.arange(d, 999, n_dev, dtype=np.int64)
+        chunks = [np.asarray(ds.graph.indices[indptr[o]: indptr[o + 1]])
+                  for o in own]
+        flat = np.concatenate(chunks).astype(np.int32)
+        np.testing.assert_array_equal(full_i[d][: flat.size], flat)
+        deg = indptr[own + 1] - indptr[own]
+        np.testing.assert_array_equal(
+            full_p[d][: own.size + 1].astype(np.int64),
+            np.concatenate([[0], np.cumsum(deg)]))
+
+    # subset build slices identically
+    sub_p, sub_i, sub_e = shard_topology_arrays(ds.graph, n_dev,
+                                                device_ids=[2],
+                                                chunk_rows=16)
+    np.testing.assert_array_equal(sub_p[0], full_p[2])
+    np.testing.assert_array_equal(sub_i[0], full_i[2])
+    np.testing.assert_array_equal(sub_e[0], full_e[2])
