@@ -559,6 +559,45 @@ class ShardedFeatureCache:
             self.state = k_insert(self.state, self._put(grid, 1),
                                   self._put(rows, 2), self._put(cols, 1))
 
+    def insert_rows(self, ids: np.ndarray, rows: np.ndarray,
+                    colors: Optional[np.ndarray] = None,
+                    chunk: int = 16384) -> None:
+        """prewarm() with the rows already in hand: ``ids`` int32 [n] (the
+        same global list on every process), ``rows`` float [n, dim] aligned
+        with ids, ``colors`` int32 [n] aligned with ids (NOT per-node-id
+        like prewarm's). Owner-partitions in sharded mode and batch-inserts
+        without touching the host store — the staged resident path uses
+        this to offer a window's already-gathered rows to the cache."""
+        ids = np.asarray(ids, dtype=np.int32).reshape(-1)
+        rows = np.asarray(rows)
+        n_dev = self.mesh.devices.size
+        if self.n_route > 1:
+            idx_dev = [np.flatnonzero(ids % n_dev == p)
+                       for p in self.local_positions]
+            counts = np.bincount(ids % n_dev, minlength=n_dev) \
+                if ids.size else np.zeros(n_dev, np.int64)
+            n_chunks = max(1, int(-(-counts.max() // chunk)))
+        else:
+            idx_dev = [np.arange(ids.size) for _ in self.local_positions]
+            n_chunks = max(1, (ids.size + chunk - 1) // chunk)
+
+        k_insert = self._insert_kernel(chunk)
+        for c in range(n_chunks):
+            grid = np.full((self.n_local, chunk), -1, dtype=np.int32)
+            rbuf = np.zeros((self.n_local, chunk, self.cfg.dim),
+                            dtype=self._np_dtype)
+            cbuf = np.zeros((self.n_local, chunk), dtype=np.int32)
+            for d in range(self.n_local):
+                part = idx_dev[d][c * chunk:(c + 1) * chunk]
+                if part.size == 0:
+                    continue
+                grid[d, : part.size] = ids[part]
+                rbuf[d, : part.size] = rows[part]
+                if colors is not None:
+                    cbuf[d, : part.size] = colors[part]
+            self.state = k_insert(self.state, self._put(grid, 1),
+                                  self._put(rbuf, 2), self._put(cbuf, 1))
+
     def color_meta(self) -> np.ndarray:
         """Aggregated color-occupancy counters (the get_cache_data +
         gather_cache_meta path, ssd_gnn_cache.cuh:176-186,

@@ -37,10 +37,16 @@ from coala_gnn_tpu.parallel.sharded_cache import (
     exchange_lookup,
     exchange_probe,
 )
+from coala_gnn_tpu.parallel.resident import (
+    INT32_MAX,
+    _pow2,
+    encode_stage_rows,
+)
 from coala_gnn_tpu.sampling.device_sampler import (
     sample_blocks_device,
     to_device_graph,
 )
+from coala_gnn_tpu.utils.timers import PhaseTimers
 
 
 @dataclasses.dataclass
@@ -58,6 +64,12 @@ class ShardedResidentTrainer:
                                    # (papers100M-class graphs; E/n_dev
                                    # edges per device) instead of
                                    # replicating them into every HBM
+    stage_transport: str = "auto"  # miss-row encoding across the host
+                                   # link for staged fused windows:
+                                   # float32 | bfloat16 | int8; auto =
+                                   # int8 when cache lines are int8
+    stage_admit: bool = True       # offer staged rows to their owner
+                                   # shards after each window
 
     def __post_init__(self):
         mesh = self.cache.mesh
@@ -265,6 +277,101 @@ class ShardedResidentTrainer:
                        P(DATA_AXIS)),
             check_vma=False))
 
+        # ---- staged fused windows (capacity pressure, multi-device) ------
+        # The mesh analogue of ResidentTrainer's staged path: a bitmap
+        # probe reports every row the window's exchange lookups will NOT
+        # serve (residency misses AND bucket overflow — the stage overlay
+        # subsumes the ovf_pos/ovf_rows threading), the host gathers the
+        # unique rows once, and the window overlays the REPLICATED stage
+        # onto unserved slots. Exact at any hit ratio; the cache never has
+        # to admit anything for correctness.
+        def presample_bitmap_local(g, state, seeds_grid, keys):
+            seeds_grid = seeds_grid[0]
+            local = _to_local(state)
+
+            def body(bm, inp):
+                seeds, kdata = inp
+                k = jax.random.wrap_key_data(kdata)
+                k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
+                k1, _ = jax.random.split(k)
+                _, ids, _ = sample_fn(g, seeds, k1)
+                valid = ids != sentinel
+                hit, _ = exchange_probe(cfg, bucket_cap, n_route, local,
+                                        ids, valid)
+                miss_ids = jnp.where(valid & ~hit, ids, sentinel)
+                return bm.at[miss_ids].max(jnp.uint8(1)), None
+
+            bm0 = jnp.zeros(sentinel + 1, jnp.uint8)   # last slot = trash
+            bm, _ = jax.lax.scan(body, bm0, (seeds_grid, keys))
+            return jax.lax.pmax(bm, DATA_AXIS)         # union -> replicated
+
+        self._presample_bitmap = jax.jit(shard_map(
+            presample_bitmap_local, mesh=mesh,
+            in_specs=(g_specs, state_specs, P(DATA_AXIS, None, None), P()),
+            out_specs=P(), check_vma=False))
+
+        def window_staged_local(g, labels_dev, state, stage_ids, stage_rows,
+                                stage_scale, params, opt_state, seeds_grid,
+                                keys):
+            """Per-device staged window. stage_* are replicated: ids int32
+            [U] sorted (INT32_MAX pad), rows [U, dim] transport-encoded,
+            scale f32 [U] or None. Counters are psum'd: miss counts every
+            slot the exchange didn't serve (stage-served rows came from
+            the backing store — reference hit/miss semantics), unres
+            counts slots served by neither (the replay trigger)."""
+            seeds_grid = seeds_grid[0]
+            local = _to_local(state)
+            U = stage_ids.shape[0]
+
+            def body(carry, inp):
+                params, opt_state = carry
+                seeds, kdata = inp
+                k = jax.random.wrap_key_data(kdata)
+                k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
+                k1, k2 = jax.random.split(k)
+                blocks, ids, num = sample_fn(g, seeds, k1)
+                valid = ids != sentinel
+                _, feats, hit, _ovf = exchange_lookup(
+                    cfg, bucket_cap, n_route, local, ids, valid)
+                safe = jnp.where(valid, ids, 0)
+                pos = jnp.minimum(
+                    jnp.searchsorted(stage_ids, safe).astype(jnp.int32),
+                    U - 1)
+                found = (stage_ids[pos] == safe) & valid & ~hit
+                srows = stage_rows[pos]
+                if stage_scale is not None:
+                    srows = fc.dequantize_rows(srows, stage_scale[pos],
+                                               dtype=feats.dtype)
+                feats = jnp.where(found[:, None],
+                                  srows.astype(feats.dtype), feats)
+                n_hit = jax.lax.psum(hit.sum(dtype=jnp.int32), DATA_AXIS)
+                n_miss = jax.lax.psum((valid & ~hit).sum(dtype=jnp.int32),
+                                      DATA_AXIS)
+                n_unres = jax.lax.psum(
+                    (valid & ~hit & ~found).sum(dtype=jnp.int32), DATA_AXIS)
+                y = labels_dev[seeds]
+
+                def lfn(p):
+                    logits = model.apply(p, blocks, feats, train=True,
+                                         rngs={"dropout": k2})[:B]
+                    return optax.softmax_cross_entropy_with_integer_labels(
+                        logits, y).mean()
+
+                loss, grads = jax.value_and_grad(lfn)(params)
+                grads = jax.lax.pmean(grads, DATA_AXIS)
+                loss = jax.lax.pmean(loss, DATA_AXIS)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                n_edges = jax.lax.psum(
+                    sum(b.mask.sum() for b in blocks), DATA_AXIS)
+                return (params, opt_state), (loss, n_miss, n_hit, n_unres,
+                                             n_edges)
+
+            (params, opt_state), (losses, miss, hits, unres, edges) = \
+                jax.lax.scan(body, (params, opt_state), (seeds_grid, keys))
+            return params, opt_state, losses, miss, hits, unres, edges
+
+        self._window_staged_local = window_staged_local
         self._window_cache = {}
         self._window_local = window_local
         self._mesh = mesh
@@ -274,6 +381,9 @@ class ShardedResidentTrainer:
         self._labels_dev = labels_dev
         self.full_coverage = False
         self.hits = self.misses = 0
+        self.timers = PhaseTimers()
+        if self.stage_transport == "auto":
+            self.stage_transport = "int8" if cfg.quantize else "float32"
 
     def _window_jit(self, params, opt_state, ovf_cap: int):
         key = ("window", ovf_cap)
@@ -290,6 +400,81 @@ class ShardedResidentTrainer:
             check_vma=False))
         self._window_cache[key] = k
         return k
+
+    def _window_staged_jit(self, params, opt_state, has_scale: bool):
+        key = ("window_staged", has_scale)
+        if key in self._window_cache:
+            return self._window_cache[key]
+        pspec = jax.tree.map(lambda _: P(), params)
+        ospec = jax.tree.map(lambda _: P(), opt_state)
+        fn = self._window_staged_local
+        if not has_scale:
+            def fn(g, labels_dev, state, sids, srows, params, opt_state,
+                   seeds_grid, keys, _inner=self._window_staged_local):
+                return _inner(g, labels_dev, state, sids, srows, None,
+                              params, opt_state, seeds_grid, keys)
+        stage_specs = (P(), P(), P()) if has_scale else (P(), P())
+        k = jax.jit(shard_map(
+            fn, mesh=self._mesh,
+            in_specs=(self._g_specs, P(), self._state_specs) + stage_specs
+                     + (pspec, ospec, P(DATA_AXIS, None), P()),
+            out_specs=(pspec, ospec, P(), P(), P(), P(), P()),
+            check_vma=False))
+        self._window_cache[key] = k
+        return k
+
+    # ---- staged stage plumbing (mesh) --------------------------------
+    def _probe_window_staged(self, seeds_dev, keys):
+        """Dispatch the bitmap residency probe (no host sync); returns the
+        replicated [num_nodes+1] uint8 device handle."""
+        bm = self._presample_bitmap(self._g, self.cache.state, seeds_dev,
+                                    keys)
+        try:
+            bm.copy_to_host_async()
+        except Exception:
+            pass
+        return bm
+
+    def _build_stage(self, bm):
+        """Bitmap readback (ONE replicated d2h) -> host gather of unique
+        unserved rows -> transport-encoded replicated stage. Deterministic
+        from replicated inputs, so every process builds the identical
+        stage (the multi-host coherence contract)."""
+        from coala_gnn_tpu.parallel.multihost import read_replicated
+        with self.timers.time("probe_wait"):
+            arr = read_replicated(bm)
+        mids = np.flatnonzero(arr[: self.graph.num_nodes]).astype(np.int32)
+        u_cap = _pow2(max(mids.size, 1))
+        ids_p = np.full(u_cap, INT32_MAX, np.int32)
+        ids_p[: mids.size] = mids
+        rows = np.zeros((u_cap, self.cache.cfg.dim), np.float32)
+        with self.timers.time("host_gather"):
+            if mids.size:
+                rows[: mids.size] = self.host_fetch(mids.astype(np.int64))
+        with self.timers.time("stage_encode"):
+            enc, scale = encode_stage_rows(rows, self.stage_transport)
+        colors = np.zeros(u_cap, np.int32)
+        if self.colors is not None and mids.size:
+            colors[: mids.size] = self.colors[mids]
+        sh = NamedSharding(self.mesh, P())
+        with self.timers.time("stage_upload"):
+            stage = (jax.device_put(ids_p, sh), jax.device_put(enc, sh),
+                     None if scale is None else jax.device_put(scale, sh),
+                     mids, rows, colors)
+        self.timers.tally("stage_rows", float(mids.size))
+        return stage
+
+    def _offer_stage(self, stage) -> None:
+        """Owner-partitioned insert of a window's staged rows (refresh, as
+        the reference's mandatory miss insert; correctness never depends
+        on it). Reuses the hot rows already gathered for the stage."""
+        _, _, _, mids, rows, colors = stage
+        if mids.size == 0:
+            return
+        with self.timers.time("insert_dispatch"):
+            self.cache.insert_rows(mids, rows[: mids.size],
+                                   colors[: mids.size]
+                                   if self.colors is not None else None)
 
     def _prefetch_window(self, seeds_dev, keys, K: int):
         """Probe the window's residency across the mesh. Repairable misses
@@ -374,56 +559,94 @@ class ShardedResidentTrainer:
         return (params, opt_state, jnp.stack(out_losses),
                 jnp.stack(out_edges).astype(jnp.float32))
 
-    def _count_window(self, miss, hits) -> int:
-        m = int(np.asarray(miss).sum())
-        self.hits += int(np.asarray(hits).sum())
-        self.misses += m
-        return m
-
     def train_window(self, params, opt_state, seeds_grid: np.ndarray, key):
         """K fused DP steps in one dispatch. seeds_grid int32 [n_dev, K, B].
-        Replays per step (with host miss repair) from the pre-window state
-        if any step missed anywhere on the mesh."""
-        params0, opt0 = params, opt_state
-        params, opt_state, losses, miss, hits, edges = self._dispatch_window(
-            params, opt_state, seeds_grid, key)
-        if self._count_window(miss, hits) == 0:
-            return params, opt_state, losses, edges
-        # precise replay through the per-step miss-repair path
-        return self._replay_window(params0, opt0, seeds_grid, key)
+        Returns (params', opt_state', losses [K], edges [K])."""
+        return self.train_windows(params, opt_state, seeds_grid[None], key,
+                                  _keys=[key])
 
-    def train_windows(self, params, opt_state, seeds_grids: np.ndarray, key):
-        """M fused windows, fully asynchronous. seeds_grids int32
-        [M, n_dev, K, B]. Same protocol as ResidentTrainer.train_windows:
-        all M windows dispatch with zero per-window host syncs and their
-        miss/hit counters come back in ONE folded [M, 2] transfer at the
-        end (a per-window d2h round trip dominates the window itself on a
-        tunneled device). On an (impossible-by-prefetch) miss, the first
-        bad window and its tainted tail replay per-step."""
+    def train_windows(self, params, opt_state, seeds_grids: np.ndarray, key,
+                      _keys=None):
+        """M fused windows. seeds_grids int32 [M, n_dev, K, B].
+        Returns (params', opt_state', losses [M*K], edges [M*K]).
+
+        Full coverage: all M windows dispatch with ZERO per-window host
+        syncs; counters fold into one [M, 3] transfer (a per-window d2h
+        round trip dominates the window itself on a tunneled device).
+
+        Partial coverage: the software-pipelined STAGED schedule (the mesh
+        version of ResidentTrainer.train_windows). Device stream order per
+        window w is  window(w) -> offer(stage_w) -> probe(w+1),  so every
+        bitmap probe sees exactly the cache state its window's exchange
+        lookups will read; the stage overlay then serves every unserved
+        slot (residency misses AND bucket overflow) and the windows are
+        exact at any hit ratio. While window w runs, the host reads probe
+        w+1's bitmap, gathers the unique rows, and uploads the replicated
+        stage — the only per-window host syncs are the bitmap readbacks
+        (ADVICE r2 #1: the previous path blocked on per-window miss counts
+        and was not pipelined). Stage-served rows count as misses
+        (reference semantics: they came from the backing store)."""
         M = seeds_grids.shape[0]
-        keys = list(jax.random.split(key, M))
+        keys = list(jax.random.split(key, M)) if _keys is None else _keys
         losses_out: list = [None] * M
         edges_out: list = [None] * M
         snaps: list = [None] * M
         counters: list = [None] * M
+        sh = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        seeds_dev = [jax.device_put(np.ascontiguousarray(s, np.int32), sh)
+                     for s in seeds_grids]
+        keydata = [jax.random.key_data(
+            jax.random.split(keys[w], seeds_grids[w].shape[1]))
+            for w in range(M)]
+        staged = not self.full_coverage
+
+        stage = None
+        if staged:
+            stage = self._build_stage(self._probe_window_staged(
+                seeds_dev[0], keydata[0]))
         for w in range(M):
             snaps[w] = (params, opt_state)
-            params, opt_state, losses, miss, hits, edges = \
-                self._dispatch_window(params, opt_state, seeds_grids[w],
-                                      keys[w], sync_miss=False)
+            if staged:
+                k_win = self._window_staged_jit(params, opt_state,
+                                                stage[2] is not None)
+                with self.timers.time("window_dispatch"):
+                    (params, opt_state, losses, miss, hits, unres,
+                     edges) = k_win(
+                        self._g, self._labels_dev, self.cache.state,
+                        *(s for s in stage[:3] if s is not None),
+                        params, opt_state, seeds_dev[w], keydata[w])
+                if self.stage_admit:
+                    self._offer_stage(stage)
+                if w + 1 < M:
+                    stage = self._build_stage(self._probe_window_staged(
+                        seeds_dev[w + 1], keydata[w + 1]))
+            else:
+                with self.timers.time("window_dispatch"):
+                    params, opt_state, losses, miss, hits, edges = \
+                        self._dispatch_window(params, opt_state,
+                                              seeds_grids[w], keys[w],
+                                              sync_miss=False)
+                unres = miss
             losses_out[w], edges_out[w] = losses, edges
-            counters[w] = jnp.stack([miss.sum(), hits.sum()])
+            counters[w] = jnp.stack([miss.sum(), hits.sum(), unres.sum()])
         folded = np.asarray(jnp.stack(counters))        # ONE d2h transfer
         self.misses += int(folded[:, 0].sum())
         self.hits += int(folded[:, 1].sum())
-        bad = np.flatnonzero(folded[:, 0])
+        bad = np.flatnonzero(folded[:, 2])
         if bad.size:
+            # Safety net (unreachable when probes ran in stream order).
+            # Replayed steps re-count through the device counters, so
+            # subtract the tainted windows' folded counts first (ADVICE
+            # r2: stats() double-counted replays).
             w0 = int(bad[0])
+            self.misses -= int(folded[w0:, 0].sum())
+            self.hits -= int(folded[w0:, 1].sum())
             params, opt_state = snaps[w0]
-            for w in range(w0, M):
-                params, opt_state, plosses, pedges = self._replay_window(
-                    params, opt_state, seeds_grids[w], keys[w])
-                losses_out[w], edges_out[w] = plosses, pedges
+            with self.timers.time("replay"):
+                for w in range(w0, M):
+                    params, opt_state, plosses, pedges = self._replay_window(
+                        params, opt_state, seeds_grids[w], keys[w])
+                    losses_out[w], edges_out[w] = plosses, pedges
         return (params, opt_state, jnp.concatenate(losses_out),
                 jnp.concatenate(edges_out))
 
@@ -468,15 +691,16 @@ class ShardedResidentTrainer:
         rows = np.zeros((n_dev, m_cap, self.cache.cfg.dim),
                         self.cache._np_dtype)
         colors_m = np.zeros((n_dev, m_cap), np.int32)
-        for d in range(n_dev):
-            pos = np.flatnonzero(need[d])
-            if pos.size == 0:
-                continue
-            miss_ids = ids_np[d, pos].astype(np.int64)
-            positions[d, : pos.size] = pos
-            rows[d, : pos.size] = self.host_fetch(miss_ids)
-            if self.colors is not None:
-                colors_m[d, : pos.size] = self.colors[miss_ids]
+        with self.timers.time("host_gather"):
+            for d in range(n_dev):
+                pos = np.flatnonzero(need[d])
+                if pos.size == 0:
+                    continue
+                miss_ids = ids_np[d, pos].astype(np.int64)
+                positions[d, : pos.size] = pos
+                rows[d, : pos.size] = self.host_fetch(miss_ids)
+                if self.colors is not None:
+                    colors_m[d, : pos.size] = self.colors[miss_ids]
         sh2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
         sh3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         dpos = jax.device_put(positions, sh2)

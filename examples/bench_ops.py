@@ -12,6 +12,7 @@ lives here").
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -19,6 +20,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+RESULTS = []
+
+
+def record(name, dt_s, traffic_bytes=None, flops=None):
+    row = {"name": name, "ms": round(dt_s * 1e3, 3)}
+    if traffic_bytes is not None:
+        row["gb_per_s"] = round(traffic_bytes / dt_s / 1e9, 1)
+        print(f"{name:26s} {dt_s * 1e3:8.3f} ms   {row['gb_per_s']:8.1f} GB/s")
+    if flops is not None:
+        row["tflop_per_s"] = round(flops / dt_s / 1e12, 1)
+        print(f"{name:26s} {dt_s * 1e3:8.3f} ms   "
+              f"{row['tflop_per_s']:8.1f} TFLOP/s")
+    RESULTS.append(row)
 
 
 def timeit(fn, *args, warmup=1, iters=20):
@@ -56,6 +71,9 @@ def main():
     p.add_argument("--n_dst", type=int, default=32768)
     p.add_argument("--fanout", type=int, default=10)
     p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--json", type=str, default="",
+                   help="write results to this JSON file (the roofline "
+                        "artifact BENCH_OPS_r{N}.json, VERDICT r2 next #2)")
     args = p.parse_args()
     if args.platform:
         import jax
@@ -81,7 +99,7 @@ def main():
     ]:
         dt = timeit(fn, x, adj, w)
         traffic = (N * F * D + N * D) * bytes_per
-        print(f"{name:24s} {dt * 1e3:8.3f} ms   {traffic / dt / 1e9:8.1f} GB/s")
+        record(name, dt, traffic)
 
     # Contiguous-block fast path (the resident pipeline's production
     # layout, ops/aggregate.py: neighbor rows at [N, N + N*F) of the layer
@@ -94,7 +112,41 @@ def main():
                                ("contig agg_sum bf16", xc16, 2)]:
         dt = timeit(contig, x, w)
         traffic = (N * F * D + N * D) * bytes_per
-        print(f"{name:24s} {dt * 1e3:8.3f} ms   {traffic / dt / 1e9:8.1f} GB/s")
+        record(name, dt, traffic)
+
+    # SDDMM + softmax + combine (the GAT hot path, models/gnn.py GATLayer;
+    # reference analogue: DGL GATConv's edge_softmax + u_mul_e SpMM,
+    # examples/models.py:77-81). score[i,k] = leaky_relu(s_dst[i] +
+    # s_src[i,k]) where s_* are sampled dot products (the SDDMM), then a
+    # fanout-softmax and a weighted combine. Measured on both layouts;
+    # traffic lower bound = neighbor rows once + dst rows + out.
+    from coala_gnn_tpu.ops.aggregate import neighbor_view
+    a_src = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    a_dst = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+
+    def gat_sddmm(x, adj, a_s, a_d):
+        nbr = neighbor_view(x, adj, (N, F))          # [N, F, D]
+        dst = x[:N]
+        s = jax.nn.leaky_relu(dst @ a_d[:, None] + nbr @ a_s, 0.2)
+        alpha = jax.nn.softmax(s, axis=1)            # [N, F]
+        return jnp.einsum("nfd,nf->nd", nbr, alpha.astype(x.dtype))
+
+    sd_gather = jax.jit(lambda x, adj, a_s, a_d: gat_sddmm(x, adj, a_s, a_d))
+    sd_contig = jax.jit(lambda x, a_s, a_d: gat_sddmm(x, None, a_s, a_d))
+    for name, fn, fargs, x in [
+        ("sddmm_gat gather f32", sd_gather, (x32, adj, a_src, a_dst), x32),
+        ("sddmm_gat gather bf16", sd_gather,
+         (x16, adj, a_src.astype(jnp.bfloat16),
+          a_dst.astype(jnp.bfloat16)), x16),
+        ("sddmm_gat contig f32", sd_contig, (xc32, a_src, a_dst), xc32),
+        ("sddmm_gat contig bf16", sd_contig,
+         (xc16, a_src.astype(jnp.bfloat16),
+          a_dst.astype(jnp.bfloat16)), xc16),
+    ]:
+        bpp = x.dtype.itemsize
+        dt = timeit(fn, *fargs)
+        traffic = (N * F * D + 2 * N * D) * bpp
+        record(name, dt, traffic)
 
     # Pallas ELL-SpMM kernel (explicit DMA schedule)
     if jax.default_backend() == "tpu":
@@ -102,10 +154,11 @@ def main():
         try:
             dt = timeit(ell_spmm_pallas, x32, adj, w)
             traffic = (N * F * D + N * D) * 4
-            print(f"{'pallas ell_spmm f32':24s} {dt * 1e3:8.3f} ms   "
-                  f"{traffic / dt / 1e9:8.1f} GB/s")
+            record("pallas ell_spmm f32", dt, traffic)
         except Exception as e:
             print(f"pallas ell_spmm: FAILED ({type(e).__name__}: {e})")
+            RESULTS.append({"name": "pallas ell_spmm f32",
+                            "error": f"{type(e).__name__}: {e}"})
 
     # plain gather (roofline probe: what the backend's gather achieves)
     flat = adj.reshape(-1)
@@ -114,14 +167,24 @@ def main():
                          ("plain row gather bf16", x16, 2)]:
         dt = timeit(g, x, flat)
         traffic = flat.shape[0] * D * bpp * 2  # read + write
-        print(f"{name:24s} {dt * 1e3:8.3f} ms   {traffic / dt / 1e9:8.1f} GB/s")
+        record(name, dt, traffic)
 
     # MXU probe for context
     a = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32)).astype(jnp.bfloat16)
     mm = jax.jit(lambda a: a @ a)
     dt = timeit(mm, a)
-    print(f"{'bf16 4096^3 matmul':24s} {dt * 1e3:8.3f} ms   "
-          f"{2 * 4096**3 / dt / 1e12:8.1f} TFLOP/s")
+    record("bf16 4096^3 matmul", dt, flops=2 * 4096**3)
+
+    if args.json:
+        out = {"backend": jax.default_backend(),
+               "device": str(jax.devices()[0]),
+               "config": {"n_src": S, "n_dst": N, "fanout": F, "dim": D},
+               "traffic_model": "lower-bound bytes: neighbor rows once + "
+                                "dst rows + output",
+               "results": RESULTS}
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

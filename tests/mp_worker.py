@@ -85,8 +85,123 @@ def main():
     elif mode == "cache":
         run_cache(mesh, n_dev, local, host_id)
 
+    elif mode in ("resident", "residenttopo"):
+        # The flagship multi-chip pipeline across real processes
+        # (VERDICT r2 next #3): staged fused windows + presample bitmap
+        # probe + a cross-process node_color refresh cycle, with the
+        # topology optionally mesh-sharded.
+        run_resident(mesh, n_dev, local, host_id,
+                     shard_topo=(mode == "residenttopo"))
+
     else:
         raise SystemExit(f"unknown mode {mode}")
+
+
+def run_resident(mesh, n_dev, local, host_id, shard_topo):
+    """ShardedResidentTrainer across processes under capacity pressure:
+    every process computes the same global seed assignment (deterministic
+    distributor contract), the staged windows run on the global mesh, and
+    the node_color refresh exchanges real cache color counters between
+    processes mid-run. Printed losses must match the single-process run
+    on the same global mesh exactly."""
+    import optax
+    import jax
+    import jax.numpy as jnp
+
+    from coala_gnn_tpu.cache import feature_cache as fc
+    from coala_gnn_tpu.cache.host_tier import HostFeatureStore
+    from coala_gnn_tpu.coloring.coloring import generate_color_metadata
+    from coala_gnn_tpu.distribution import SeedDistributor
+    from coala_gnn_tpu.graph.datasets import synthetic_graph
+    from coala_gnn_tpu.models import make_model
+    from coala_gnn_tpu.models.layers import DeviceBlock
+    from coala_gnn_tpu.parallel.multihost import read_local_shards
+    from coala_gnn_tpu.parallel.sharded_cache import ShardedFeatureCache
+    from coala_gnn_tpu.parallel.sharded_resident import ShardedResidentTrainer
+    from coala_gnn_tpu.sampling.neighbor import block_capacities
+
+    B, K, M, n_parts = 16, 2, 3, 2
+    per_part = n_dev // n_parts
+    fanouts = [4, 3]
+    ds = synthetic_graph(num_nodes=3000, avg_degree=8, feature_dim=24,
+                         num_classes=4, seed=91)
+    cmeta = generate_color_metadata(ds.graph, ds.train_idx, seed=5)
+    store = HostFeatureStore(ds.features)
+    # capacity pressure: 8 sets x 32 ways x n_dev shards < 3000 nodes
+    cfg = fc.CacheConfig(num_sets=8, ways=fc.WAYS, dim=24,
+                         cache_dim=fc.round_cache_dim(24),
+                         num_colors=cmeta.num_colors, num_shards=n_dev)
+    cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="sharded")
+    model = make_model("sage", hidden=16, num_classes=4, num_layers=2,
+                       dropout=0.0)
+    rt = ShardedResidentTrainer(
+        graph=ds.graph, host_fetch=store.fetch, labels=ds.labels,
+        cache=cache, model=model, tx=optax.adam(1e-2), fanouts=fanouts,
+        batch_size=B, colors=cmeta.color.astype(np.int32),
+        shard_topology=shard_topo)
+
+    # node_color distributor over n_parts fixed "hosts" (topology-
+    # independent so the 1-process comparison run assigns identically)
+    dist = SeedDistributor(ds.train_idx, batch_size=B, local_size=per_part,
+                           num_parts=n_parts, mode="node_color",
+                           color=cmeta.color, topk_colors=cmeta.topk,
+                           affinity=cmeta.score, shuffle_seed=3)
+
+    def part_meta():
+        """int32 [n_parts, C+1]: per-part color-counter sums, identical on
+        every process and across process topologies (the cross-process
+        half rides process_allgather — Shared_Tensor.py:96-100 parity)."""
+        C = cmeta.num_colors
+        idxs, rows = read_local_shards(cache.state.color_counts)
+        blk = np.zeros((n_dev, C + 1), np.int64)
+        for i, g in enumerate(idxs):
+            blk[g] = rows[i]
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            blk = multihost_utils.process_allgather(
+                blk.astype(np.int64)).reshape(-1, n_dev, C + 1).sum(axis=0)
+        return blk.astype(np.int32).reshape(n_parts, per_part, C + 1) \
+            .sum(axis=1)
+
+    def grids(step0, meta_now):
+        """[M_here, n_dev, K, B] global seed grid from the distributor."""
+        out = np.empty((1, n_dev, K, B), np.int64)
+        for k in range(K):
+            dom = dist.distribute(step0 + k, meta_now)   # [n_parts, pp*B]
+            out[0, :, k] = dom.reshape(n_parts * per_part, B)
+        return out.astype(np.int32)
+
+    # deterministic init: contiguous-layout placeholder blocks (identical
+    # on every process; no device readback needed)
+    caps = block_capacities(B, fanouts)
+    blocks0 = [DeviceBlock(adj=None,
+                           mask=jnp.ones((caps[l][0], fanouts[l]),
+                                         jnp.float32))
+               for l in range(len(fanouts))]
+    x0 = jnp.zeros((caps[0][1], cfg.dim), jnp.float32)
+    params = model.init(jax.random.key(0), blocks0, x0)
+    opt = rt.tx.init(params)
+
+    losses = []
+    key = jax.random.key(42)
+    keys = list(jax.random.split(key, M))
+    # window 0: no cache meta yet (cold counters) -> striped assignment
+    params, opt, l0, _ = rt.train_windows(params, opt, grids(0, None),
+                                          keys[0])
+    losses += [float(v) for v in np.asarray(l0)]
+    # cross-process refresh cycle: exchange real color counters, then
+    # node_color-assign the remaining windows with them
+    meta_now = part_meta()
+    print(f"RMETA {int(meta_now.sum())} {meta_now.shape[0]}", flush=True)
+    for w in range(1, M):
+        params, opt, lw, _ = rt.train_windows(params, opt,
+                                              grids(w * K, meta_now),
+                                              keys[w])
+        losses += [float(v) for v in np.asarray(lw)]
+    s = rt.stats()
+    print("RLOSSES " + " ".join(f"{v:.8f}" for v in losses), flush=True)
+    print(f"RSTATS {s['hits']} {s['misses']} "
+          f"{int(rt.timers.tallies.get('stage_rows', 0))}", flush=True)
 
 
 def run_cache(mesh, n_dev, local, host_id):

@@ -103,6 +103,32 @@ def test_two_process_training_matches_single_process():
     assert np.isfinite(losses_mp).all()
 
 
+@pytest.mark.parametrize("mode", ["resident", "residenttopo"])
+def test_two_process_resident_pipeline(mode):
+    """The flagship pipeline across 2 real processes (VERDICT r2 next #3):
+    staged fused windows under capacity pressure on the global 2x2-device
+    mesh — bitmap probes, replicated stage upload, owner-partitioned
+    admission — plus one cross-process node_color refresh cycle exchanging
+    real cache color counters. Losses must match (a) across the two
+    processes bit-for-bit and (b) the single-process 4-device run."""
+    outs = _spawn(mode, timeout=600)
+    l_a = [float(v) for v in _grep(outs[0], "RLOSSES").split()]
+    l_b = [float(v) for v in _grep(outs[1], "RLOSSES").split()]
+    np.testing.assert_allclose(l_a, l_b, rtol=0, atol=0)
+    assert np.isfinite(l_a).all() and len(l_a) == 6
+    # both processes computed the identical exchanged meta
+    assert _grep(outs[0], "RMETA") == _grep(outs[1], "RMETA")
+    for out in outs:
+        hits, misses, staged = map(int, _grep(out, "RSTATS").split())
+        assert misses > 0      # pressure: the stage served rows
+        assert staged > 0      # ...through the staged path
+
+    # single process, 4 virtual devices, same global mesh + assignment
+    outs1 = _spawn(mode, n_procs=1, local_devices=4, timeout=600)
+    l_sp = [float(v) for v in _grep(outs1[0], "RLOSSES").split()]
+    np.testing.assert_allclose(l_a, l_sp, rtol=1e-6, atol=1e-7)
+
+
 def test_two_process_sharded_cache():
     """ShardedFeatureCache across 2 processes: prewarm partitions by owner,
     the exchange fetch returns exact rows on every process's devices, the
