@@ -171,8 +171,7 @@ class ShardedResidentTrainer:
         def local_eval(params, blocks, x, labels):
             blocks = jax.tree.map(lambda a: a[0], blocks)
             logits = model.apply(params, blocks, x[0], train=False)[:B]
-            correct = (logits.argmax(-1) == labels[0]).sum(dtype=jnp.int32)
-            return jax.lax.psum(correct, DATA_AXIS)
+            return (logits.argmax(-1) == labels[0])[None]   # [1, B] bool
 
         def eval_b(params, blocks, x, labels):
             params_spec = jax.tree.map(lambda _: P(), params)
@@ -180,7 +179,8 @@ class ShardedResidentTrainer:
             return shard_map(
                 local_eval, mesh=mesh,
                 in_specs=(params_spec, bspec, P(DATA_AXIS), P(DATA_AXIS)),
-                out_specs=P(), check_vma=False)(params, blocks, x, labels)
+                out_specs=P(DATA_AXIS, None),
+                check_vma=False)(params, blocks, x, labels)
 
         self._eval_b = jax.jit(eval_b)
 
@@ -714,10 +714,25 @@ class ShardedResidentTrainer:
         blocks, feats, y = resolved
         return self._stage_b(params, opt_state, key, blocks, feats, y)
 
-    def eval_step(self, params, resolved) -> int:
-        """Jitted DP eval: psum'd correct-prediction count over the mesh."""
+    def eval_step(self, params, resolved,
+                  valid: Optional[np.ndarray] = None) -> int:
+        """Jitted DP eval. ``valid`` (bool [n_dev, B], optional) masks out
+        padded/wrapped seed slots — exact-tail accounting for splits that
+        don't fill a whole global batch. Multi-process safe: each process
+        counts its own devices' slots and the counts allgather-sum."""
         blocks, feats, y = resolved
-        return int(self._eval_b(params, blocks, feats, y))
+        ok = self._eval_b(params, blocks, feats, y)       # [n_dev, B] bool
+        from coala_gnn_tpu.parallel.multihost import read_local_shards
+        idxs, rows = read_local_shards(ok)
+        local = sum(int(np.asarray(rows[i]).sum()
+                        if valid is None else
+                        (np.asarray(rows[i]) & valid[g]).sum())
+                    for i, g in enumerate(idxs))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return int(multihost_utils.process_allgather(
+                np.asarray([local], np.int64)).sum())
+        return local
 
 
 def _block_struct(n_layers, hetero: bool = False):

@@ -176,10 +176,16 @@ def make_sharded_train_step(model: nn.Module,
     return step
 
 
-def make_sharded_eval_step(model: nn.Module, mesh, batch_size: int) -> Callable:
+def make_sharded_eval_step(model: nn.Module, mesh, batch_size: int,
+                           per_slot: bool = False) -> Callable:
     """Data-parallel eval: per-device argmax-correct counts psum'd over the
     mesh (replaces the reference's per-rank accuracy + sklearn reduce,
-    sbatch_ssd_gnn_train.py:178-193)."""
+    sbatch_ssd_gnn_train.py:178-193).
+
+    per_slot=True returns the bool [n_dev, batch] correctness grid instead
+    of the psum'd count, letting the caller mask out padded/wrapped seed
+    slots — the exact-tail eval accounting (a split smaller than one
+    global batch otherwise evaluates zero nodes)."""
     import jax
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -190,8 +196,10 @@ def make_sharded_eval_step(model: nn.Module, mesh, batch_size: int) -> Callable:
         blocks = jax.tree.map(lambda a: a[0], blocks)
         x, labels = x[0], labels[0]
         logits = model.apply(params, blocks, x, train=False)[:batch_size]
-        correct = (logits.argmax(-1) == labels).sum()
-        return jax.lax.psum(correct, DATA_AXIS)
+        ok = logits.argmax(-1) == labels
+        if per_slot:
+            return ok[None]
+        return jax.lax.psum(ok.sum(), DATA_AXIS)
 
     def sharded(params, blocks, x, labels):
         params_spec = jax.tree.map(lambda _: P(), params)
@@ -199,7 +207,8 @@ def make_sharded_eval_step(model: nn.Module, mesh, batch_size: int) -> Callable:
         return shard_map(
             local_eval, mesh=mesh,
             in_specs=(params_spec, blocks_spec, P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=P(), check_vma=False)(params, blocks, x, labels)
+            out_specs=P(DATA_AXIS, None) if per_slot else P(),
+            check_vma=False)(params, blocks, x, labels)
 
     return jax.jit(sharded)
 

@@ -106,6 +106,9 @@ def main():
     p.add_argument("--hidden", type=int, default=64)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--mesh_sizes", default="")
+    p.add_argument("--json", default="",
+                   help="append this run (keyed by backend) into a JSON "
+                        "artifact (SCALING_r{N}.json, VERDICT r2 next #7)")
     args = p.parse_args()
 
     from coala_gnn_tpu.utils.jaxconfig import setup
@@ -135,6 +138,29 @@ def main():
         print(f"mesh={n}: {eps:,.0f} edges/s  efficiency={eff:.2%}  "
               f"hit={stats['hit_ratio']:.3f}", file=sys.stderr, flush=True)
     print(json.dumps(results))
+    if args.json:
+        doc = {}
+        if os.path.exists(args.json):
+            with open(args.json) as f:
+                doc = json.load(f)
+        backend = jax.default_backend()
+        note = ("structural: virtual devices on one host — collectives "
+                "execute, wall-clock reflects host emulation not ICI"
+                if backend == "cpu" else
+                "real single chip (multi-chip hardware unavailable; the "
+                "first pod run diffs against this anchor)")
+        doc[backend] = {
+            "config": {"num_nodes": args.num_nodes,
+                       "feature_dim": args.feature_dim,
+                       "batch_size": args.batch_size,
+                       "fan_out": args.fan_out, "hidden": args.hidden,
+                       "steps": args.steps},
+            "note": note,
+            "results": {str(k): v for k, v in results.items()},
+        }
+        with open(args.json, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"wrote {args.json}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -218,18 +218,25 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
     if args.eval:
         from coala_gnn_tpu.distribution import (
             DistributionScheduler, SeedDistributor)
+        # Exact-tail eval: drop_tail=False wraps the final batch to keep
+        # static shapes and the wrapped (duplicate) slots are masked out of
+        # the count — every test node is evaluated exactly once, even when
+        # the split is smaller than one global batch (which previously
+        # evaluated ZERO nodes).
         ed = SeedDistributor(ds.test_idx, batch_size=B, local_size=n_dev,
                              num_parts=1, mode="baseline",
-                             shuffle_seed=args.seed,
-                             drop_tail=not args.keep_tail)
+                             shuffle_seed=args.seed, drop_tail=False)
         es = DistributionScheduler(ed, part_id=0, local_rank=0)
         correct = total = 0
-        for _ in range(ed.num_iters):
+        n_test, gb = len(ds.test_idx), ed.global_batch
+        for it in range(ed.num_iters):
             grid = es.run_domain().reshape(n_dev, B).astype(np.int32)
             key, k1 = jax.random.split(key)
             resolved = rt.resolve(rt.begin(grid, k1))
-            correct += rt.eval_step(params, resolved)   # jitted DP eval
-            total += n_dev * B
+            n_real = min(gb, n_test - it * gb)
+            valid = (np.arange(gb) < n_real).reshape(n_dev, B)
+            correct += rt.eval_step(params, resolved, valid=valid)
+            total += n_real
         print(f"Test accuracy: {correct / max(total, 1):.4f} ({total} nodes)")
 
 
@@ -417,7 +424,6 @@ def main(argv=None):
                            colors=None if meta is None else meta.color)
 
     train_step = make_sharded_train_step(model, tx, mesh, B)
-    eval_step = make_sharded_eval_step(model, mesh, B)
     key = jax.random.key(args.seed)
 
     steps_per_epoch = len(loader)
@@ -497,23 +503,38 @@ def main(argv=None):
     if args.eval:
         # Fresh distributor + loader over the test split, matching the
         # reference eval path (sbatch_ssd_gnn_train.py:156-195).
+        # Exact-tail accounting: the final batch wraps (static shapes) and
+        # wrapped duplicate slots are masked from the per-slot correctness
+        # grid — every test node counts exactly once, even for splits
+        # smaller than one global batch (previously: zero nodes).
+        from coala_gnn_tpu.parallel.multihost import read_local_shards
         eval_distributor = SeedDistributor(
             ds.test_idx, batch_size=B, local_size=n_dev, num_parts=n_hosts,
-            mode="baseline", shuffle_seed=args.seed,
-            drop_tail=not args.keep_tail)
+            mode="baseline", shuffle_seed=args.seed, drop_tail=False)
         eval_sched = DistributionScheduler(eval_distributor, part_id=host_id,
                                            local_rank=0)
         eval_loader = CoalaDataLoader(scheduler=eval_sched, sampler=sampler,
                                       labels=ds.labels, local_size=n_dev,
                                       prefetch=2)
+        eval_slot = make_sharded_eval_step(model, mesh, B, per_slot=True)
         correct = total = 0
-        for hb in eval_loader:
+        n_test, gb = len(ds.test_idx), eval_distributor.global_batch
+        for it, hb in enumerate(eval_loader):
             dblocks = to_device_stacked(hb)
             x = fetch_batch(hb)
             labels = put(hb.labels)
-            c = eval_step(params, dblocks, x, labels)
-            correct += int(c)
-            total += n_dev * B * n_hosts
+            ok = eval_slot(params, dblocks, x, labels)  # [n_dev*n_hosts, B]
+            n_real = min(gb, n_test - it * gb)
+            valid = (np.arange(gb) < n_real).reshape(n_hosts * n_dev, B)
+            idxs, rows = read_local_shards(ok)
+            local_c = sum(int((np.asarray(rows[i]) & valid[g]).sum())
+                          for i, g in enumerate(idxs))
+            if n_hosts > 1:
+                from jax.experimental import multihost_utils
+                local_c = int(multihost_utils.process_allgather(
+                    np.asarray([local_c], np.int64)).sum())
+            correct += local_c
+            total += n_real
         print(f"Test accuracy: {correct / max(total, 1):.4f} ({total} nodes)")
 
 
