@@ -211,6 +211,34 @@ def lookup(cfg: CacheConfig, state: CacheState, ids: jax.Array,
     return state, feats, hit
 
 
+def lookup_quantized(cfg: CacheConfig, state: CacheState, ids: jax.Array,
+                     valid: jax.Array, count_stats: bool = True
+                     ) -> Tuple[CacheState, jax.Array, jax.Array, jax.Array]:
+    """lookup() WITHOUT the dequantize: returns the raw int8 lines and
+    their per-row scales so the caller can ship the response compressed —
+    the int8 exchange sends dim bytes + one f32 scale per row instead of
+    4*dim bytes (~3.9x less ICI traffic), and the requester dequantizes
+    after the all_to_all (replaces the reference's raw-page response put,
+    nvshmem_cache.h:381-385). Only valid for quantized caches
+    (state.scales is not None). Returns (state', q int8 [n, dim],
+    scales f32 [n], hit bool [n]); missed rows are zero with scale 1."""
+    sets = set_index(cfg, ids)
+    way_tags = state.tags[sets]
+    match = way_tags == ids[:, None]
+    hit = match.any(axis=1) & valid
+    way = jnp.argmax(match, axis=1)
+    q = state.data[sets, way, : cfg.dim]
+    sc = state.scales[sets, way]
+    q = jnp.where(hit[:, None], q, 0)
+    sc = jnp.where(hit, sc, 1.0)
+    if count_stats:
+        n_hit = hit.sum(dtype=jnp.int32)
+        n_valid = valid.sum(dtype=jnp.int32)
+        state = state._replace(hits=state.hits + n_hit,
+                               misses=state.misses + (n_valid - n_hit))
+    return state, q, sc, hit
+
+
 def probe(cfg: CacheConfig, state: CacheState, ids: jax.Array,
           valid: jax.Array) -> jax.Array:
     """Residency check only: tags compare, no data gather, no stats.

@@ -129,9 +129,17 @@ def _owner_rank(ids: jax.Array, valid: jax.Array, n_dev: int
 
 def exchange_lookup(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
                     local: fc.ColoredCacheState, ids: jax.Array,
-                    valid: jax.Array):
+                    valid: jax.Array, int8_response: bool = True):
     """Core per-device probe (call from inside a shard_map body over the
     data axis): route ids to owners, probe, route features back.
+
+    Quantized caches ship the RESPONSE compressed: raw int8 lines + one
+    f32 scale per row ride the all_to_all (dim + 4 bytes/row vs 4*dim —
+    ~3.9x less ICI traffic) and the requester dequantizes, replacing the
+    reference's raw-page response put (nvshmem_cache.h:381-385).
+    Dequantize is elementwise, so which side of the wire it runs on is
+    bitwise-irrelevant; int8_response=False forces the f32-response path
+    (the parity test's oracle).
 
     Returns (local_state', feats [n_req, dim], hit [n_req], overflow
     [n_req]). n_dev == 1 degenerates to a local probe."""
@@ -139,7 +147,7 @@ def exchange_lookup(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
     ids = jnp.where(valid, ids, 0)
     if n_dev == 1:
         base, feats, hit = fc.lookup(cfg, local.base, ids, valid)
-        local = fc.ColoredCacheState(base=base, line_colors=local.line_colors)
+        local = local._replace(base=base)
         return local, feats, hit, jnp.zeros((n_req,), jnp.bool_)
     c = bucket_cap
     owner, rank = _owner_rank(ids, valid, n_dev)
@@ -154,13 +162,27 @@ def exchange_lookup(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
     # Owner-side probe (read_feature parity).
     req_flat = req.reshape(-1)
     req_valid = req_flat >= 0
-    base, feats, hit = fc.lookup(cfg, local.base,
-                                 jnp.where(req_valid, req_flat, 0), req_valid)
-    local = fc.ColoredCacheState(base=base, line_colors=local.line_colors)
+    quant = local.base.scales is not None and int8_response
+    if quant:
+        base, q, sc, hit = fc.lookup_quantized(
+            cfg, local.base, jnp.where(req_valid, req_flat, 0), req_valid)
+    else:
+        base, feats, hit = fc.lookup(cfg, local.base,
+                                     jnp.where(req_valid, req_flat, 0),
+                                     req_valid)
+    local = local._replace(base=base)
 
-    # Phase 2: features (and hit bits) back to requesters.
-    resp = jax.lax.all_to_all(feats.reshape(n_dev, c, cfg.dim), DATA_AXIS,
-                              split_axis=0, concat_axis=0, tiled=True)
+    # Phase 2: features (and hit bits) back to requesters — int8 lines +
+    # scales when quantized, f32 rows otherwise.
+    if quant:
+        resp_q = jax.lax.all_to_all(q.reshape(n_dev, c, cfg.dim), DATA_AXIS,
+                                    split_axis=0, concat_axis=0, tiled=True)
+        resp_sc = jax.lax.all_to_all(sc.reshape(n_dev, c), DATA_AXIS,
+                                     split_axis=0, concat_axis=0, tiled=True)
+    else:
+        resp = jax.lax.all_to_all(feats.reshape(n_dev, c, cfg.dim),
+                                  DATA_AXIS, split_axis=0, concat_axis=0,
+                                  tiled=True)
     hit_back = jax.lax.all_to_all(hit.reshape(n_dev, c), DATA_AXIS,
                                   split_axis=0, concat_axis=0, tiled=True)
 
@@ -168,7 +190,13 @@ def exchange_lookup(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
     # cache_kernel.cu:129-137).
     g_owner = jnp.where(routed, owner, 0)
     g_rank = jnp.where(routed, rank, 0)
-    out = jnp.where((routed & valid)[:, None], resp[g_owner, g_rank], 0)
+    if quant:
+        rows = fc.dequantize_rows(resp_q[g_owner, g_rank],
+                                  resp_sc[g_owner, g_rank],
+                                  dtype=cfg.dtype)
+        out = jnp.where((routed & valid)[:, None], rows, 0)
+    else:
+        out = jnp.where((routed & valid)[:, None], resp[g_owner, g_rank], 0)
     out_hit = hit_back[g_owner, g_rank] & routed & valid
     overflow = ~routed & valid
     return local, out, out_hit, overflow

@@ -158,3 +158,63 @@ def test_color_meta_aggregation(store):
     # counts match the color histogram of the cached ids
     want = np.bincount(colors[uniq], minlength=num_colors + 1)
     np.testing.assert_array_equal(meta, want)
+
+
+def test_int8_response_exchange_matches_f32_response():
+    """Quantized caches ship int8 lines + scales through the two-phase
+    all_to_all and dequantize at the requester (VERDICT r2 next #6 —
+    replaces the reference's raw-page response put, nvshmem_cache.h:381-385
+    at ~3.9x less ICI traffic). Dequantize is elementwise, so the int8
+    response must equal the dequant-at-owner f32 response BITWISE, and
+    both must match the host truth within quantization error."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from coala_gnn_tpu.parallel.mesh import DATA_AXIS
+    from coala_gnn_tpu.parallel.sharded_cache import (_to_local,
+                                                      exchange_lookup)
+
+    rng = np.random.default_rng(11)
+    feats = rng.normal(size=(N_NODES, DIM)).astype(np.float32)
+    qstore = HostFeatureStore(feats)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    cfg = fc.CacheConfig(num_sets=32, ways=fc.WAYS, dim=DIM,
+                         cache_dim=fc.round_cache_dim(DIM), num_colors=0,
+                         num_shards=n_dev, quantize=True)
+    cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="sharded")
+    warm = rng.choice(N_NODES, size=2000, replace=False).astype(np.int32)
+    cache.prewarm(warm, qstore.fetch)
+
+    n_req = 64
+    ids = np.stack([rng.choice(warm, size=n_req, replace=False)
+                    for _ in range(n_dev)]).astype(np.int32)
+    state_specs = jax.tree.map(lambda _: P(DATA_AXIS), cache.state)
+
+    def body(state, ids, int8_response):
+        local = _to_local(state)
+        _, out, hit, ovf = exchange_lookup(cfg, n_req, n_dev, local,
+                                           ids[0], ids[0] >= 0,
+                                           int8_response=int8_response)
+        return out[None], hit[None]
+
+    def run(int8_response):
+        k = jax.jit(shard_map(
+            lambda s, i: body(s, i, int8_response), mesh=mesh,
+            in_specs=(state_specs, P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False))
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        out, hit = k(cache.state, jax.device_put(ids, sh))
+        return np.asarray(out), np.asarray(hit)
+
+    out8, hit8 = run(True)
+    out32, hit32 = run(False)
+    np.testing.assert_array_equal(hit8, hit32)
+    assert hit8.all()                      # all requested ids were warm
+    np.testing.assert_array_equal(out8, out32)   # bitwise-identical
+    # and both match the host truth within symmetric-int8 error
+    want = feats[ids]
+    err = np.abs(out8 - want).max()
+    scale = np.abs(want).max(axis=-1).max()
+    assert err <= scale / 127 + 1e-6
