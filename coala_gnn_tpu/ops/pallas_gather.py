@@ -1,0 +1,110 @@
+"""Pallas TPU kernel, generation 2: VMEM-resident gather-accumulate.
+
+out[i, :] = sum_k w[i, k] * x[adj[i, k], :]
+
+The r1 ELL kernel (ops/pallas_spmm.py) streamed 8-row groups from HBM
+through a DMA ring and topped out at ~19 GB/s: one descriptor per edge is
+descriptor-bound at ~1 KB/row granularity. This kernel attacks the measured
+gap from the other side (VERDICT r2 next #2: fused gather-sum 132 GB/s vs
+plain gather 207 GB/s, BENCH_OPS_r03.json): park the feature table in VMEM
+(v5e has 128 MiB) and gather with zero DMAs per edge, fusing the weighted
+accumulate so neighbor rows never round-trip through HBM between the
+gather and the reduce.
+
+Measured outcome on v5e (2026-08-17, libtpu-current; /tmp repros kept in
+the bench artifact BENCH_OPS_r03.json): **the gap is not reachable from
+Pallas on this generation** — closed instead by layout (see below). Every
+strategy was driven to either a hard lowering limit or a measured loss:
+
+1. Vectorized in-kernel gather (``jnp.take`` / ``x[idx]`` /
+   ``take_along_axis`` on a VMEM-resident table): Mosaic's dynamic-gather
+   lowering requires input, indices and output to have EQUAL shapes —
+   "gather 512 of 65536 rows" is inexpressible. The equal-shape
+   table-shuffle form crashes the TPU compiler backend (tpu_compile_helper
+   exit 1), and the ``.at[].set`` index-padding workaround hits
+   "Unimplemented primitive ... scatter".
+2. Row-loop with a ``[1, D]`` vector carry through ``lax.fori_loop``:
+   crashes the Mosaic backend outright (no diagnostic) at every table
+   size — the carry, not the dynamic sublane read, is the trigger
+   (a scalar carry with the same dynamic ``x_ref[pl.ds(idx, 1), :]``
+   read compiles fine).
+3. THIS kernel — fully-static unroll (no loop-carried vectors, static
+   output stores, dynamic VMEM reads only): compiles, bit-exact vs the
+   XLA formulation, and measures **24.7 GB/s** vs XLA's **136.7 GB/s**
+   at identical shapes (S=16k, N=32k, F=10, D=256): per-row dynamic
+   sublane slicing issues at VPU/scalar-unit rate, ~5.5x below XLA's
+   native gather, which uses hardware gather machinery Mosaic does not
+   expose.
+
+Production conclusion (docs/DESIGN.md §1): the fused-vs-bare-gather gap is
+closed by LAYOUT, not by a kernel — the resident pipeline's contiguous
+block layout (ops/aggregate.py, ``adj is None``) removes the gather from
+the model entirely, and the one remaining random access (the cache-line
+fetch) rides XLA's native gather at the 207 GB/s roofline.
+
+Kept here as the measured attempt + the template for future Mosaic
+generations that expose a real gather primitive.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 8   # static unroll width; larger tiles only grow code size, the
+             # bottleneck is per-row issue rate (see module docstring)
+
+
+def _kernel(fanout: int, dim: int, tile_n: int,
+            adj_ref, w_ref, x_ref, out_ref):
+    """Fully-static unroll: dynamic VMEM reads, static stores, no carries
+    (both restrictions are load-bearing — see module docstring #2/#3)."""
+    for i in range(tile_n):
+        acc = jnp.zeros((1, dim), jnp.float32)
+        for k in range(fanout):
+            idx = adj_ref[i, k]
+            row = x_ref[pl.ds(idx, 1), :]
+            acc = acc + row.astype(jnp.float32) * w_ref[i, k]
+        out_ref[i:i + 1, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_sum_vmem(x: jax.Array, adj: jax.Array, w: jax.Array,
+                    interpret: bool = False) -> jax.Array:
+    """x [S, D] (f32/bf16, D multiple of 128, table <~ 100 MB), adj int32
+    [N, F], w f32 [N, F] -> out [N, F] f32. Mask folds into w (w=0 slots
+    are no-ops). The whole table rides one VMEM block shared across grid
+    steps; adj/w tiles stream per step."""
+    n, fanout = adj.shape
+    s, dim = x.shape
+    tile_n = min(TILE_N, n)
+    n_tiles = pl.cdiv(n, tile_n)
+    n_pad = n_tiles * tile_n
+    if n_pad != n:
+        adj = jnp.pad(adj, ((0, n_pad - n), (0, 0)))
+        w = jnp.pad(w, ((0, n_pad - n), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, fanout, dim, tile_n),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_n, fanout), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, fanout), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # whole table, same block every step -> loaded once
+            pl.BlockSpec((s, dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, dim), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(adj, w, x)
+    return out[:n]

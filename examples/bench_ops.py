@@ -159,6 +159,28 @@ def main():
             print(f"pallas ell_spmm: FAILED ({type(e).__name__}: {e})")
             RESULTS.append({"name": "pallas ell_spmm f32",
                             "error": f"{type(e).__name__}: {e}"})
+        # gen-2: VMEM-resident fully-static gather-accumulate (the only
+        # Mosaic formulation that compiles — vector fori carries, dynamic
+        # stores and equal-shape dynamic_gather all die in the backend;
+        # ops/pallas_gather.py module docstring records the full battery).
+        # Measured at a 16k-row table (64 MB f32 tables also crash the
+        # backend compiler); XLA's gather at the SAME shapes is the
+        # apples-to-apples roofline.
+        from coala_gnn_tpu.ops.pallas_gather import gather_sum_vmem
+        S2 = min(S, 16384)
+        adj2 = jnp.asarray((np.asarray(adj) % S2).astype(np.int32))
+        x2 = x32[:S2]
+        try:
+            dt = timeit(lambda x, a, ww: gather_sum_vmem(x, a, ww),
+                        x2, adj2, w, iters=5)
+            traffic = (N * F * D + N * D) * 4
+            record(f"pallas vmem_gather f32 (S={S2})", dt, traffic)
+            dt = timeit(jax.jit(padded_gather_sum), x2, adj2, w)
+            record(f"gather_sum_loop f32 (S={S2})", dt, traffic)
+        except Exception as e:
+            print(f"pallas vmem_gather: FAILED ({type(e).__name__}: {e})")
+            RESULTS.append({"name": f"pallas vmem_gather f32 (S={S2})",
+                            "error": f"{type(e).__name__}: {e}"})
 
     # plain gather (roofline probe: what the backend's gather achieves)
     flat = adj.reshape(-1)

@@ -31,3 +31,19 @@ def test_ell_spmm_zero_weights_mask(rng):
     out = np.asarray(ell_spmm_pallas(jnp.asarray(x), jnp.asarray(adj),
                                      jnp.asarray(w), interpret=True))
     np.testing.assert_allclose(out, x[adj[:, 0]], rtol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(128, 48, 5, 128), (64, 33, 3, 256)])
+def test_gather_sum_vmem_matches_reference(rng, shape):
+    """Gen-2 VMEM-resident gather-accumulate (ops/pallas_gather.py): the
+    fully-static variant — the only one Mosaic compiles (vector fori
+    carries and dynamic stores crash the backend; see module docstring)."""
+    from coala_gnn_tpu.ops.pallas_gather import gather_sum_vmem
+    S, N, F, D = shape
+    x = rng.normal(size=(S, D)).astype(np.float32)
+    adj = rng.integers(0, S, size=(N, F)).astype(np.int32)
+    w = rng.random((N, F)).astype(np.float32)
+    out = np.asarray(gather_sum_vmem(jnp.asarray(x), jnp.asarray(adj),
+                                     jnp.asarray(w), interpret=True))
+    want = np.einsum("nfd,nf->nd", x[adj], w)
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
