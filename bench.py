@@ -188,6 +188,195 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
     }
 
 
+def run_host(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
+             tag="host"):
+    """Host packed pipeline (one transfer/step, one-batch-ahead probe
+    pipelining): cache_mb == 0 is the UNCACHED host-fetch configuration —
+    the self-baseline every cached regime is judged against
+    (examples/measure_baseline.py records it into BASELINE.json).
+    Returns the result dict."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from coala_gnn_tpu.cache import feature_cache as fc
+    from coala_gnn_tpu.cache.host_tier import HostFeatureStore
+    from coala_gnn_tpu.data.loader import CoalaDataLoader
+    from coala_gnn_tpu.data.packing import pack_request
+    from coala_gnn_tpu.distribution import (DistributionScheduler,
+                                            SeedDistributor)
+    from coala_gnn_tpu.models import DeviceBlock, make_model
+    from coala_gnn_tpu.parallel.mesh import DATA_AXIS, make_mesh
+    from coala_gnn_tpu.parallel.sharded_cache import ShardedFeatureCache
+    from coala_gnn_tpu.parallel.train import make_request_train_step
+    from coala_gnn_tpu.sampling.neighbor import NeighborSampler
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sampler = NeighborSampler(ds.graph, fanouts, B, seed=0)
+    distributor = SeedDistributor(ds.train_idx, batch_size=B, local_size=1,
+                                  num_parts=1, mode="baseline", shuffle_seed=0)
+    scheduler = DistributionScheduler(distributor, part_id=0, local_rank=0)
+    loader = CoalaDataLoader(scheduler=scheduler, sampler=sampler,
+                             labels=ds.labels, local_size=1, prefetch=2)
+
+    model = make_model("sage", hidden=hidden, num_classes=ds.num_classes,
+                       num_layers=len(fanouts))
+    tx = optax.adam(1e-3)
+    n_req = sampler.caps[0][1]   # input-layer src capacity == id-list length
+    from coala_gnn_tpu.data.packing import batch_layout
+    layout = batch_layout(sampler.caps, fanouts)
+    step_fn = make_request_train_step(model, tx, B, layout, n_req)
+
+    # HBM feature cache (the whole point): steady-state hits mean features
+    # come from device HBM instead of crossing host->device every step.
+    cache = store = None
+    store = HostFeatureStore(ds.features)
+    if cache_mb > 0:
+        mesh = make_mesh(jax.devices()[:1])
+        cfg = fc.make_config(cache_mb=cache_mb, dim=dim, num_colors=0,
+                             dtype=jnp.bfloat16 if bf16 else jnp.float32)
+        cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="isolated")
+        log(f"bench[{tag}]: cache {cfg.num_sets} sets x {cfg.ways} ways "
+            f"({cfg.size_mb:.0f} MB, capacity {cfg.capacity} lines)")
+        if int(os.environ.get("BENCH_PREWARM", 1)):
+            t = time.perf_counter()
+            n_warm = min(ds.graph.num_nodes, cfg.capacity)
+            cache.prewarm(np.arange(n_warm, dtype=np.int32), store.fetch)
+            log(f"bench[{tag}]: prewarmed {n_warm} lines in "
+                f"{time.perf_counter() - t:.1f}s")
+
+    params = opt_state = None
+    key = jax.random.key(0)
+    edges = 0
+    t0 = None
+    n_done = 0
+    loss = None
+
+    # One-batch-ahead cache-probe pipeline: the hit mask for batch i+1
+    # streams to the host while batch i trains, hiding the round trip.
+    it = iter(loader)
+    pending = []  # [(hb, fetch handle)]
+
+    def pull():
+        try:
+            hb = next(it)
+        except StopIteration:
+            return
+        vec = pack_request(hb.input_ids[0].astype(np.int32),
+                           int(hb.num_input[0]),
+                           [a[0] for a in hb.adjs],
+                           [m[0] for m in hb.masks], hb.labels[0])
+        if cache is not None:
+            dbuf = jax.device_put(
+                vec[None, :], NamedSharding(cache.mesh, P(DATA_AXIS, None)))
+            h = cache.fetch_begin_packed(hb.input_ids, hb.num_input, dbuf,
+                                         n_req)
+        else:
+            dbuf = jnp.asarray(vec[None, :])
+            h = None
+        pending.append((hb, dbuf, h))
+
+    pull()
+    for i in range(warmup + steps):
+        if not pending:
+            break
+        hb, packed, handle = pending.pop(0)
+        pull()  # start next batch's probe before resolving this one
+        if cache is not None:
+            x = cache.fetch_complete(handle, store.fetch)[0]
+        else:
+            x = jnp.asarray(ds.features[hb.input_ids[0]])
+        if params is None:
+            log(f"bench[{tag}]: first batch ready (sampled "
+                f"{hb.sampled_nodes} nodes); initializing + compiling...")
+            blocks0 = [DeviceBlock(adj=jnp.asarray(hb.adjs[l][0]),
+                                   mask=jnp.asarray(hb.masks[l][0]))
+                       for l in range(len(fanouts))]
+            params = model.init(jax.random.key(1), blocks0, x)
+            opt_state = tx.init(params)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, acc = step_fn(params, opt_state, sub,
+                                               packed, x)
+        if i == 0:
+            jax.block_until_ready(loss)
+            log(f"bench[{tag}]: compile done, warming up")
+        if i == warmup - 1:
+            jax.block_until_ready(loss)
+            if cache is not None:
+                cache.stats()  # reset so reported ratio covers timed steps
+            t0 = time.perf_counter()
+            edges = 0
+        if i >= warmup:
+            edges += sum(int(m[0].sum()) for m in hb.masks)
+            n_done += 1
+
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    eps = edges / dt
+    hit_ratio = None
+    if cache is not None:
+        s = cache.stats()
+        hit_ratio = round(s["hit_ratio"], 4)
+        log(f"bench[{tag}]: cache hit ratio {s['hit_ratio']:.3f} "
+            f"({s['hits']} hits / {s['misses']} misses)")
+    log(f"bench[{tag}]: {n_done} steps in {dt:.3f}s -> {eps:,.0f} edges/s "
+        f"({1000 * dt / n_done:.1f} ms/step, loss {float(loss):.4f})")
+    return {
+        "metric": "train_edges_per_s_per_chip",
+        "value": round(eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": None,
+        "cache_hit_ratio": hit_ratio,
+        "config": {"batch": B, "fanout": fanouts, "dim": dim,
+                   "hidden": hidden, "nodes": ds.graph.num_nodes,
+                   "cache_mb": cache_mb, "model": "sage", "mode": tag,
+                   "feature_dtype": "bfloat16" if bf16 else "float32"},
+    }
+
+
+def run_dim1024(warmup, steps, nodes=None, dim=1024, B=512,
+                fanouts=(10, 5), hidden=256, window=None):
+    """int8-overflow-scale pressure regime (VERDICT r2 next #1): dim 1024
+    (IGB-large width, ssd_gnn_dataloader.py:819 scale) with the cache
+    budget at 12.5% of the f32 feature bytes — int8 lines only reach ~50%
+    coverage, so NO tier escapes to full coverage and the staged miss path
+    must win on its own. The uncached reference is measured INLINE at this
+    exact config (the stored self-baseline is a dim-256 config and
+    _self_baseline would rightly refuse it)."""
+    from coala_gnn_tpu.graph.datasets import synthetic_graph
+
+    if nodes is None:
+        nodes = int(os.environ.get("BENCH_DIM1024_NODES", 100_000))
+    fanouts = list(fanouts)
+    ds = synthetic_graph(num_nodes=nodes, avg_degree=15, feature_dim=dim,
+                         num_classes=16, seed=0)
+    unc = run_host(ds, B, fanouts, dim, hidden, cache_mb=0, bf16=False,
+                   warmup=2, steps=6, tag="dim1024-uncached")
+    press_mb = max(int(nodes * 0.125 * dim * 4) >> 20, 1)
+    pk = window or int(os.environ.get("BENCH_WINDOW_PRESSURE", 32))
+    p = run_resident(ds, B, fanouts, dim, hidden, press_mb, False,
+                     warmup, steps, tag="dim1024-staged",
+                     priorities="degree", stage_transport="int8", window=pk)
+    q = run_resident(ds, B, fanouts, dim, hidden, press_mb, False,
+                     warmup, steps, tag="dim1024-int8-lines",
+                     priorities="degree", stage_transport="int8",
+                     window=pk, quantize=True)
+    base = unc["value"]
+
+    def summ(r):
+        return {"value": r["value"], "unit": r["unit"],
+                "cache_hit_ratio": r["cache_hit_ratio"],
+                "cache_mb": press_mb,
+                "cache_lines": r["config"]["cache_lines"],
+                "vs_uncached_same_config": round(r["value"] / base, 2)}
+
+    return {"uncached_edges_per_s": base,
+            "config": {"nodes": nodes, "dim": dim, "batch": B,
+                       "fanout": fanouts, "cache_mb": press_mb},
+            "staged_f32_lines": summ(p),
+            "staged_int8_lines": summ(q)}
+
+
 def main():
     from coala_gnn_tpu.utils.jaxconfig import setup as jax_setup
     jax_setup()
@@ -273,133 +462,15 @@ def main():
                              warmup, steps, tag="resident-pressure-int8",
                              quantize=True)
             res["pressure_int8"] = summarize(q)
+            if int(os.environ.get("BENCH_DIM1024", 1)):
+                res["pressure_dim1024"] = run_dim1024(
+                    warmup=min(warmup, 8), steps=min(steps, 32))
         print(json.dumps(res))
         return
-    sampler = NeighborSampler(ds.graph, fanouts, B, seed=0)
-    distributor = SeedDistributor(ds.train_idx, batch_size=B, local_size=1,
-                                  num_parts=1, mode="baseline", shuffle_seed=0)
-    scheduler = DistributionScheduler(distributor, part_id=0, local_rank=0)
-    loader = CoalaDataLoader(scheduler=scheduler, sampler=sampler,
-                             labels=ds.labels, local_size=1, prefetch=2)
+    res = run_host(ds, B, fanouts, dim, hidden, cache_mb, bf16,
+                   warmup, steps)
+    print(json.dumps(res))
 
-    from coala_gnn_tpu.data.packing import batch_layout, pack_request
-    from coala_gnn_tpu.parallel.train import (
-        make_packed_train_step, make_request_train_step)
-
-    model = make_model("sage", hidden=hidden, num_classes=ds.num_classes,
-                       num_layers=len(fanouts))
-    tx = optax.adam(1e-3)
-    layout = batch_layout(sampler.caps, fanouts)
-    n_req = sampler.caps[0][1]   # input-layer src capacity == id-list length
-    step_fn = make_request_train_step(model, tx, B, layout, n_req)
-
-    # HBM feature cache (the whole point): steady-state hits mean features
-    # come from device HBM instead of crossing host->device every step.
-    cache = store = None
-    if cache_mb > 0:
-        mesh = make_mesh(jax.devices()[:1])
-        cfg = fc.make_config(cache_mb=cache_mb, dim=dim, num_colors=0,
-                             dtype=jnp.bfloat16 if bf16 else jnp.float32)
-        cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="isolated")
-        store = HostFeatureStore(ds.features)
-        log(f"bench: cache {cfg.num_sets} sets x {cfg.ways} ways "
-            f"({cfg.size_mb:.0f} MB, capacity {cfg.capacity} lines)")
-        if int(os.environ.get("BENCH_PREWARM", 1)):
-            t = time.perf_counter()
-            n_warm = min(num_nodes, cfg.capacity)
-            cache.prewarm(np.arange(n_warm, dtype=np.int32), store.fetch)
-            log(f"bench: prewarmed {n_warm} lines in "
-                f"{time.perf_counter() - t:.1f}s")
-
-    params = opt_state = None
-    key = jax.random.key(0)
-    edges = 0
-    t0 = None
-    n_done = 0
-    loss = None
-
-    # One-batch-ahead cache-probe pipeline: the hit mask for batch i+1
-    # streams to the host while batch i trains, hiding the round trip.
-    it = iter(loader)
-    pending = []  # [(hb, fetch handle)]
-
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from coala_gnn_tpu.parallel.mesh import DATA_AXIS
-
-    def pull():
-        try:
-            hb = next(it)
-        except StopIteration:
-            return
-        vec = pack_request(hb.input_ids[0].astype(np.int32),
-                           int(hb.num_input[0]),
-                           [a[0] for a in hb.adjs],
-                           [m[0] for m in hb.masks], hb.labels[0])
-        if cache is not None:
-            dbuf = jax.device_put(
-                vec[None, :], NamedSharding(cache.mesh, P(DATA_AXIS, None)))
-            h = cache.fetch_begin_packed(hb.input_ids, hb.num_input, dbuf, n_req)
-        else:
-            dbuf = jnp.asarray(vec[None, :])
-            h = None
-        pending.append((hb, dbuf, h))
-
-    pull()
-    for i in range(warmup + steps):
-        if not pending:
-            break
-        hb, packed, handle = pending.pop(0)
-        pull()  # start next batch's probe before resolving this one
-        if cache is not None:
-            x = cache.fetch_complete(handle, store.fetch)[0]
-        else:
-            x = jnp.asarray(ds.features[hb.input_ids[0]])
-        if params is None:
-            log(f"bench: first batch ready (sampled {hb.sampled_nodes} nodes); "
-                "initializing + compiling...")
-            blocks0 = [DeviceBlock(adj=jnp.asarray(hb.adjs[l][0]),
-                                   mask=jnp.asarray(hb.masks[l][0]))
-                       for l in range(len(fanouts))]
-            params = model.init(jax.random.key(1), blocks0, x)
-            opt_state = tx.init(params)
-        key, sub = jax.random.split(key)
-        params, opt_state, loss, acc = step_fn(params, opt_state, sub,
-                                               packed, x)
-        if i == 0:
-            jax.block_until_ready(loss)
-            log("bench: compile done, warming up")
-        if i == warmup - 1:
-            jax.block_until_ready(loss)
-            if cache is not None:
-                cache.stats()  # reset so reported ratio covers timed steps
-            t0 = time.perf_counter()
-            edges = 0
-        if i >= warmup:
-            edges += sum(int(m[0].sum()) for m in hb.masks)
-            n_done += 1
-
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    eps = edges / dt
-    hit_ratio = None
-    if cache is not None:
-        s = cache.stats()
-        hit_ratio = round(s["hit_ratio"], 4)
-        log(f"bench: cache hit ratio {s['hit_ratio']:.3f} "
-            f"({s['hits']} hits / {s['misses']} misses)")
-    log(f"bench: {n_done} steps in {dt:.3f}s -> {eps:,.0f} edges/s "
-        f"({1000 * dt / n_done:.1f} ms/step, loss {float(loss):.4f})")
-    print(json.dumps({
-        "metric": "train_edges_per_s_per_chip",
-        "value": round(eps, 1),
-        "unit": "edges/s",
-        "vs_baseline": None,
-        "cache_hit_ratio": hit_ratio,
-        "config": {"batch": B, "fanout": fanouts, "dim": dim,
-                   "hidden": hidden, "nodes": num_nodes,
-                   "cache_mb": cache_mb, "model": "sage",
-                   "feature_dtype": "bfloat16" if bf16 else "float32"},
-    }))
 
 
 if __name__ == "__main__":
