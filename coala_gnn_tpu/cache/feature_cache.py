@@ -347,9 +347,20 @@ def init_colored_state(cfg: CacheConfig,
 def insert_with_colors(cfg: CacheConfig, cstate: ColoredCacheState,
                        ids: jax.Array, feats: jax.Array, valid: jax.Array,
                        colors: jax.Array,
-                       prios: Optional[jax.Array] = None) -> ColoredCacheState:
+                       prios: Optional[jax.Array] = None,
+                       return_evicted: bool = False):
     """insert() + color occupancy accounting (same duplicate-scatter
     discipline as insert(): one writer per (set, way) slot).
+
+    ``return_evicted=True`` additionally returns the int32 [n] array of
+    ids this insert evicted (-1 where row i evicted nothing: refreshes,
+    rejected admissions, empty ways). The overlapped staged schedule
+    (parallel/resident.py train_windows) needs it: a presample probe that
+    ran BEFORE this insert underestimates the next window's misses by
+    exactly the lines the insert evicts, so the host patches these ids
+    into the next stage. A clobbered same-batch refresh (case (b)) is
+    captured too — the victim tag read at the new arrival's way IS the
+    clobbered id.
 
     With ``prios`` (f32 [n], requires a state built with track_prio=True)
     eviction becomes priority-aware: a new row's victim is its set's
@@ -406,6 +417,11 @@ def insert_with_colors(cfg: CacheConfig, cstate: ColoredCacheState,
     clobbered = valid & already & claimed[sets, way]
     valid = valid & ~clobbered & (is_new | already)
     victim_color = cstate.line_colors[sets, way]
+    evicted = None
+    if return_evicted:
+        victim_tag = state.tags[sets, way]
+        evicted = jnp.where(is_new & valid & (victim_tag >= 0),
+                            victim_tag, -1)
 
     drop_sets = jnp.where(valid, sets, cfg.num_sets)
     lines, row_scales = _to_lines(cfg, feats, n)
@@ -435,8 +451,9 @@ def insert_with_colors(cfg: CacheConfig, cstate: ColoredCacheState,
 
     base = CacheState(tags=tags, data=data, rr=rr, color_counts=cc,
                       hits=state.hits, misses=state.misses, scales=scales)
-    return ColoredCacheState(base=base, line_colors=line_colors,
-                             line_prio=line_prio)
+    out = ColoredCacheState(base=base, line_colors=line_colors,
+                            line_prio=line_prio)
+    return (out, evicted) if return_evicted else out
 
 
 # ---- flat (direct-mapped) resident tier ----------------------------------

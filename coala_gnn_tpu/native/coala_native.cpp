@@ -363,6 +363,37 @@ void cg_gather_rows_f32(const float* features, int64_t dim, const int64_t* ids,
   }
 }
 
+// Symmetric per-row int8 quantization: scale[i] = absmax(rows[i])/127 (1 if
+// the row is all-zero), q[i,j] = round(rows[i,j]/scale[i]) clamped to +-127.
+// Matches the quantized cache-line format (feature_cache.quantize_rows) so a
+// staged row dequantizes to exactly what an int8 cache hit serves. One fused
+// pass per row instead of numpy's five full-array passes — the stage-encode
+// phase was the capacity-pressure pipeline's top cost (3.3s/window at
+// [82k, 1024]) before this.
+void cg_quantize_rows(const float* rows, int64_t n, int64_t dim, int8_t* q,
+                      float* scale) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; i++) {
+    const float* r = rows + i * dim;
+    float am = 0.0f;
+    for (int64_t j = 0; j < dim; j++) {
+      float a = std::fabs(r[j]);
+      if (a > am) am = a;
+    }
+    float s = am > 0.0f ? am / 127.0f : 1.0f;
+    scale[i] = s;
+    int8_t* o = q + i * dim;
+    for (int64_t j = 0; j < dim; j++) {
+      // divide (not reciprocal-multiply): bitwise parity with numpy/jnp,
+      // whose ties-to-even rounding is ULP-sensitive at the tie points
+      float v = std::nearbyintf(r[j] / s);
+      if (v > 127.0f) v = 127.0f;
+      if (v < -127.0f) v = -127.0f;
+      o[j] = (int8_t)v;
+    }
+  }
+}
+
 // uint16 variant (IGB stores some features quantized; also used for labels).
 void cg_gather_rows_u16(const uint16_t* features, int64_t dim,
                         const int64_t* ids, int64_t n, uint16_t* out) {

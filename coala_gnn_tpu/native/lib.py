@@ -84,6 +84,12 @@ def get() -> ctypes.CDLL:
             _f32p, ctypes.c_int64, _i64p, ctypes.c_int64, _f32p]
         lib.cg_gather_rows_f32.restype = None
 
+        lib.cg_quantize_rows.argtypes = [
+            _f32p, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS"),
+            _f32p]
+        lib.cg_quantize_rows.restype = None
+
         _LIB = lib
         return lib
 
@@ -191,6 +197,22 @@ def distribute_affinity(lib: ctypes.CDLL, item: np.ndarray, offset: int,
                                affinity.reshape(-1), topk, num_colors,
                                meta.reshape(-1), out)
     return out
+
+
+def quantize_rows_native(rows: np.ndarray):
+    """Fused per-row symmetric int8 quantization (cg_quantize_rows).
+    Returns (q int8 [n, dim], scale f32 [n]) or (None, None) when the
+    native library is unavailable (caller falls back to numpy)."""
+    try:
+        lib = get()
+    except Exception:
+        return None, None
+    rows = np.ascontiguousarray(rows, dtype=np.float32)
+    n, dim = rows.shape
+    q = np.empty((n, dim), np.int8)
+    scale = np.empty(n, np.float32)
+    lib.cg_quantize_rows(rows, n, dim, q, scale)
+    return q, scale
 
 
 def gather_rows(lib: ctypes.CDLL, features: np.ndarray, ids: np.ndarray,

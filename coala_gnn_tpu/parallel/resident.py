@@ -61,10 +61,21 @@ def encode_stage_rows(rows: np.ndarray, transport: str):
         import ml_dtypes
         return rows.astype(ml_dtypes.bfloat16), None
     if transport == "int8":
+        from coala_gnn_tpu.native.lib import quantize_rows_native
+        q, scale = quantize_rows_native(rows)
+        if q is not None:
+            return q, scale
+        # numpy fallback: in-place, f32-scalar ops (np.clip/rint with
+        # python scalars cost 5x the traffic via f64 promotion — measured
+        # 3.3s/window at [82k, 1024] before this, ~0.3s after)
         absmax = np.abs(rows).max(axis=1)
-        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
-        q = np.clip(np.rint(rows / scale[:, None]), -127, 127).astype(np.int8)
-        return q, scale
+        scale = np.where(absmax > 0, absmax / np.float32(127.0),
+                         np.float32(1.0)).astype(np.float32)
+        d = rows / scale[:, None]
+        np.rint(d, out=d)
+        np.minimum(d, np.float32(127.0), out=d)
+        np.maximum(d, np.float32(-127.0), out=d)
+        return d.astype(np.int8), scale
     raise ValueError(f"unknown stage transport {transport!r}")
 
 
@@ -98,6 +109,23 @@ class ResidentTrainer:
                                    # each window (admission-filtered);
                                    # False freezes cache contents during
                                    # fused windows
+    stage_overlap: bool = False    # overlapped staged schedule: probe w+1
+                                   # runs BEFORE window w on the stream
+                                   # (pre-insert state) so the host gather
+                                   # of stage w+1 can overlap window w's
+                                   # compute; the insert reports which
+                                   # lines it evicted and the host patches
+                                   # those rows into the stage, restoring
+                                   # exactness. Default OFF: it only wins
+                                   # on hosts with value-async d2h
+                                   # readbacks — on stream-sync platforms
+                                   # (the axon tunnel; measured r3) every
+                                   # readback drains the queue, so the
+                                   # extra evicted-read per window makes
+                                   # overlap a net loss (f32 pressure:
+                                   # 328k vs 540k edges/s serial). The
+                                   # serial schedule keeps exactly ONE
+                                   # sync per window.
 
     def __post_init__(self):
         self.g = to_device_graph(self.graph)
@@ -355,6 +383,22 @@ class ResidentTrainer:
 
         self._insert_stage = jax.jit(insert_stage)
 
+        # overlap variant: also report which resident lines the insert
+        # evicted (associative tier only — the flat tier never evicts, so
+        # the overlapped schedule needs no patch there)
+        def insert_stage_evict(cache, stage_ids, stage_rows, stage_scale,
+                               colors_d, prios_d):
+            rows = stage_rows
+            if stage_scale is not None:
+                rows = fc.dequantize_rows(rows, stage_scale)
+            valid = stage_ids != INT32_MAX
+            return fc.insert_with_colors(
+                cfg, cache, jnp.where(valid, stage_ids, 0),
+                rows.astype(jnp.float32), valid, colors_d,
+                prios=prios_d if use_prio else None, return_evicted=True)
+
+        self._insert_stage_evict = jax.jit(insert_stage_evict)
+
         self._stage_a = stage_a
         self._stage_b = stage_b
         self._eval_b = eval_b
@@ -437,20 +481,52 @@ class ResidentTrainer:
             return np.flatnonzero(arr[: self.graph.num_nodes]).astype(np.int32)
         return np.unique(arr[arr >= 0]).astype(np.int32)
 
-    def _build_stage(self, probe):
+    def _build_stage(self, probe, evicted=None):
         """Probe readback -> host gather of the unique miss rows ->
         transport-encoded stage pytree on device (upload is async).
-        Returns (stage_ids, stage_rows, stage_scale, colors_d, prios_d)."""
+        Returns (stage_ids, stage_rows, stage_scale, colors_d, prios_d).
+
+        ``evicted`` (overlapped schedule): device handle of the previous
+        insert's evicted-id array. The probe ran before that insert, so
+        rows it saw as hits may have been evicted since — patching the
+        evicted ids into the stage restores the superset guarantee. Read
+        AFTER the main gather: the big host transfer overlaps the window
+        still running on device; the evicted array is tiny and ready the
+        moment the insert (right after the window) retires."""
         mids = self._probe_miss_ids(probe)
+        gathered = np.zeros((mids.size, self.cache_cfg.dim), np.float32)
+        with self.timers.time("host_gather"):
+            if mids.size:
+                # the big transfer — overlaps the window running on device
+                gathered = self.host_fetch(mids.astype(np.int64)) \
+                    .astype(np.float32, copy=False)
+        if evicted is not None:
+            with self.timers.time("evict_patch"):
+                ev = np.asarray(evicted)      # ready right after the window
+                ev = np.unique(ev[ev >= 0]).astype(np.int32)
+                ev = ev[np.isin(ev, mids, assume_unique=True,
+                                invert=True)]
+                if ev.size:
+                    ev_rows = self.host_fetch(ev.astype(np.int64)) \
+                        .astype(np.float32, copy=False)
+                    order = np.argsort(np.concatenate([mids, ev]),
+                                       kind="stable")
+                    mids = np.concatenate([mids, ev])[order]
+                    gathered = np.concatenate([gathered, ev_rows])[order]
         u_cap = _pow2(max(mids.size, 1))
         ids_p = np.full(u_cap, INT32_MAX, np.int32)
         ids_p[: mids.size] = mids
-        rows = np.zeros((u_cap, self.cache_cfg.dim), np.float32)
-        with self.timers.time("host_gather"):
-            if mids.size:
-                rows[: mids.size] = self.host_fetch(mids.astype(np.int64))
         with self.timers.time("stage_encode"):
-            enc, scale = encode_stage_rows(rows, self.stage_transport)
+            # encode the REAL rows only, then pad the encoded (padding
+            # the f32 rows first and encoding u_cap rows cost up to 1.6x
+            # the traffic for nothing — pad rows encode to zero anyway)
+            enc_r, scale_r = encode_stage_rows(gathered, self.stage_transport)
+            enc = np.zeros((u_cap, self.cache_cfg.dim), enc_r.dtype)
+            enc[: mids.size] = enc_r
+            scale = None
+            if scale_r is not None:
+                scale = np.ones(u_cap, np.float32)
+                scale[: mids.size] = scale_r
         colors_d = np.zeros(u_cap, np.int32)
         if self.colors is not None and mids.size:
             colors_d[: mids.size] = self.colors[mids]
@@ -537,16 +613,22 @@ class ResidentTrainer:
         guaranteed to hit — `misses` stays 0, matching r2 semantics.
 
         Associative tier under capacity pressure: the software-pipelined
-        STAGED schedule. Device stream order per window w is
-            window(w) -> insert(stage_w, admission-filtered) -> probe(w+1)
-        so every probe sees EXACTLY the cache state its window will read
-        (nothing mutates the cache between probe and window), making the
-        staged windows exact at any hit ratio; while window w runs on
-        device, the host reads back probe w's bitmap, gathers the unique
-        miss rows, and uploads stage w+1. Stage-served rows count as
-        MISSES (they came from the backing store — the reference's
-        hit/miss semantics, nvshmem_cache.h:404,477). The only host syncs
-        are the probe readbacks and the final counter fold."""
+        STAGED schedule. With ``stage_overlap`` (default) device stream
+        order per window w is
+            probe(w+1) -> window(w) -> insert(stage_w, evict-reporting)
+        — the probe sees the same pre-insert state the window reads, so
+        its readback retires almost immediately and the host gathers
+        stage w+1's rows WHILE window w computes; misses the probe could
+        not foresee (lines insert(stage_w) evicts) are read back from the
+        insert (tiny array) and patched into the stage, preserving
+        exactness: miss(w+1, post-insert) ⊆ probe misses ∪ evicted.
+        With ``stage_overlap=False`` the serial order
+            window(w) -> insert(stage_w) -> probe(w+1)
+        keeps the probe exact by construction but puts the host gather on
+        the critical path. Stage-served rows count as MISSES (they came
+        from the backing store — the reference's hit/miss semantics,
+        nvshmem_cache.h:404,477). The only host syncs are the probe
+        readbacks and the final counter fold."""
         M = seeds_grids.shape[0]
         keys = list(jax.random.split(key, M)) if _keys is None else _keys
         losses_out: list = [None] * M
@@ -568,19 +650,47 @@ class ResidentTrainer:
         for w in range(M):
             snaps[w] = (params, opt_state)
             if staged:
+                probe_next = None
+                if self.stage_overlap and w + 1 < M:
+                    # OVERLAPPED schedule: probe w+1 dispatches BEFORE
+                    # window w, so on the device stream it sees exactly
+                    # the pre-insert state window w reads, and its
+                    # readback + the big stage gather run on the host
+                    # while window w computes. The insert below reports
+                    # what it evicted; _build_stage patches those rows in,
+                    # restoring the superset guarantee
+                    # (miss(w+1, post-insert) ⊆ probe misses ∪ evicted).
+                    probe_next = self._probe_window(
+                        seeds_dev[w + 1],
+                        self._window_keys(seeds_grids[w + 1], keys[w + 1]))
                 with self.timers.time("window_dispatch"):
                     (params, opt_state, losses, miss, hits, unres,
                      edges) = self._window_staged(
                         self.g, self.labels_dev, self.cache, stage[0],
                         stage[1], stage[2], params, opt_state,
                         seeds_dev[w], keys[w])
+                evicted = None
                 if self.stage_admit:
                     with self.timers.time("insert_dispatch"):
-                        self._offer_stage(stage)
+                        if probe_next is not None:
+                            self.cache, evicted = self._insert_stage_evict(
+                                self.cache, stage[0], stage[1], stage[2],
+                                stage[3], stage[4])
+                            try:
+                                evicted.copy_to_host_async()
+                            except Exception:
+                                pass
+                        else:
+                            self._offer_stage(stage)
                 if w + 1 < M:
-                    stage = self._build_stage(self._probe_window(
-                        seeds_dev[w + 1],
-                        self._window_keys(seeds_grids[w + 1], keys[w + 1])))
+                    if probe_next is not None:
+                        stage = self._build_stage(probe_next,
+                                                  evicted=evicted)
+                    else:
+                        stage = self._build_stage(self._probe_window(
+                            seeds_dev[w + 1],
+                            self._window_keys(seeds_grids[w + 1],
+                                              keys[w + 1])))
             else:
                 if prefill:
                     self._repair_from_probe(probe)

@@ -546,6 +546,34 @@ class ShardedFeatureCache:
         self._jit_cache[key] = k
         return k
 
+    def _insert_evict_kernel(self, chunk: int):
+        """insert kernel that also reports the ids the insert evicted,
+        all_gathered so the result is REPLICATED (every process reads the
+        same array — the multi-host stage-coherence contract). Feeds the
+        overlapped staged schedule (sharded_resident.train_windows)."""
+        key = ("insert_evict", chunk)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        cfg = self.cfg
+        n_dev = self.mesh.devices.size
+        state_specs = jax.tree.map(lambda _: P(DATA_AXIS), self.state)
+
+        def body(state, ids, rows, colors):
+            local = _to_local(state)
+            ids, rows, colors = ids[0], rows[0], colors[0]
+            local, evicted = fc.insert_with_colors(
+                cfg, local, jnp.where(ids >= 0, ids, 0), rows, ids >= 0,
+                colors, return_evicted=True)
+            ev_all = jax.lax.all_gather(evicted, DATA_AXIS, tiled=True)
+            return _from_local(local), ev_all
+
+        k = jax.jit(shard_map(
+            body, mesh=self.mesh,
+            in_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(state_specs, P()), check_vma=False))
+        self._jit_cache[key] = k
+        return k
+
     def prewarm(self, ids: np.ndarray, host_fetch,
                 colors: Optional[np.ndarray] = None,
                 chunk: int = 16384) -> None:
@@ -589,13 +617,18 @@ class ShardedFeatureCache:
 
     def insert_rows(self, ids: np.ndarray, rows: np.ndarray,
                     colors: Optional[np.ndarray] = None,
-                    chunk: int = 16384) -> None:
+                    chunk: int = 16384, return_evicted: bool = False):
         """prewarm() with the rows already in hand: ``ids`` int32 [n] (the
         same global list on every process), ``rows`` float [n, dim] aligned
         with ids, ``colors`` int32 [n] aligned with ids (NOT per-node-id
         like prewarm's). Owner-partitions in sharded mode and batch-inserts
         without touching the host store — the staged resident path uses
-        this to offer a window's already-gathered rows to the cache."""
+        this to offer a window's already-gathered rows to the cache.
+
+        ``return_evicted=True`` returns a list of replicated device
+        handles of the evicted-id arrays (one per chunk; -1 padded) for
+        the overlapped staged schedule. No host sync happens here — the
+        caller reads them when it patches the next stage."""
         ids = np.asarray(ids, dtype=np.int32).reshape(-1)
         rows = np.asarray(rows)
         n_dev = self.mesh.devices.size
@@ -609,7 +642,9 @@ class ShardedFeatureCache:
             idx_dev = [np.arange(ids.size) for _ in self.local_positions]
             n_chunks = max(1, (ids.size + chunk - 1) // chunk)
 
-        k_insert = self._insert_kernel(chunk)
+        k_insert = (self._insert_evict_kernel(chunk) if return_evicted
+                    else self._insert_kernel(chunk))
+        evicted = []
         for c in range(n_chunks):
             grid = np.full((self.n_local, chunk), -1, dtype=np.int32)
             rbuf = np.zeros((self.n_local, chunk, self.cfg.dim),
@@ -623,8 +658,20 @@ class ShardedFeatureCache:
                 rbuf[d, : part.size] = rows[part]
                 if colors is not None:
                     cbuf[d, : part.size] = colors[part]
-            self.state = k_insert(self.state, self._put(grid, 1),
-                                  self._put(rbuf, 2), self._put(cbuf, 1))
+            if return_evicted:
+                self.state, ev = k_insert(self.state, self._put(grid, 1),
+                                          self._put(rbuf, 2),
+                                          self._put(cbuf, 1))
+                try:
+                    ev.copy_to_host_async()
+                except Exception:
+                    pass
+                evicted.append(ev)
+            else:
+                self.state = k_insert(self.state, self._put(grid, 1),
+                                      self._put(rbuf, 2), self._put(cbuf, 1))
+        if return_evicted:
+            return evicted
 
     def color_meta(self) -> np.ndarray:
         """Aggregated color-occupancy counters (the get_cache_data +

@@ -70,6 +70,17 @@ class ShardedResidentTrainer:
                                    # int8 when cache lines are int8
     stage_admit: bool = True       # offer staged rows to their owner
                                    # shards after each window
+    stage_overlap: bool = False    # overlapped staged schedule (mesh
+                                   # mirror of ResidentTrainer): probe w+1
+                                   # dispatches BEFORE window w so its
+                                   # bitmap readback + host gather can
+                                   # overlap the window's compute; the
+                                   # insert reports evicted ids
+                                   # (replicated) and the host patches
+                                   # them into the next stage, preserving
+                                   # exactness. Default OFF — wins only on
+                                   # value-async-d2h hosts (see
+                                   # resident.py stage_overlap)
 
     def __post_init__(self):
         mesh = self.cache.mesh
@@ -435,24 +446,52 @@ class ShardedResidentTrainer:
             pass
         return bm
 
-    def _build_stage(self, bm):
+    def _build_stage(self, bm, evicted=None):
         """Bitmap readback (ONE replicated d2h) -> host gather of unique
         unserved rows -> transport-encoded replicated stage. Deterministic
         from replicated inputs, so every process builds the identical
-        stage (the multi-host coherence contract)."""
+        stage (the multi-host coherence contract — the evicted-id arrays
+        are all_gathered on device for the same reason).
+
+        ``evicted`` (overlapped schedule): replicated handles from the
+        previous insert; the probe ran before that insert, so its bitmap
+        misses rows the insert evicted — they are read AFTER the big
+        gather (which overlaps the window on device) and patched in."""
         from coala_gnn_tpu.parallel.multihost import read_replicated
         with self.timers.time("probe_wait"):
             arr = read_replicated(bm)
         mids = np.flatnonzero(arr[: self.graph.num_nodes]).astype(np.int32)
+        gathered = np.zeros((mids.size, self.cache.cfg.dim), np.float32)
+        with self.timers.time("host_gather"):
+            if mids.size:
+                gathered = self.host_fetch(mids.astype(np.int64)) \
+                    .astype(np.float32, copy=False)
+        if evicted:
+            with self.timers.time("evict_patch"):
+                ev = np.concatenate(
+                    [np.asarray(read_replicated(h)).ravel()
+                     for h in evicted])
+                ev = np.unique(ev[ev >= 0]).astype(np.int32)
+                ev = ev[np.isin(ev, mids, assume_unique=True, invert=True)]
+                if ev.size:
+                    ev_rows = self.host_fetch(ev.astype(np.int64)) \
+                        .astype(np.float32, copy=False)
+                    order = np.argsort(np.concatenate([mids, ev]),
+                                       kind="stable")
+                    mids = np.concatenate([mids, ev])[order]
+                    gathered = np.concatenate([gathered, ev_rows])[order]
         u_cap = _pow2(max(mids.size, 1))
         ids_p = np.full(u_cap, INT32_MAX, np.int32)
         ids_p[: mids.size] = mids
-        rows = np.zeros((u_cap, self.cache.cfg.dim), np.float32)
-        with self.timers.time("host_gather"):
-            if mids.size:
-                rows[: mids.size] = self.host_fetch(mids.astype(np.int64))
         with self.timers.time("stage_encode"):
-            enc, scale = encode_stage_rows(rows, self.stage_transport)
+            enc_r, scale_r = encode_stage_rows(gathered,
+                                               self.stage_transport)
+            enc = np.zeros((u_cap, self.cache.cfg.dim), enc_r.dtype)
+            enc[: mids.size] = enc_r
+            scale = None
+            if scale_r is not None:
+                scale = np.ones(u_cap, np.float32)
+                scale[: mids.size] = scale_r
         colors = np.zeros(u_cap, np.int32)
         if self.colors is not None and mids.size:
             colors[: mids.size] = self.colors[mids]
@@ -460,21 +499,24 @@ class ShardedResidentTrainer:
         with self.timers.time("stage_upload"):
             stage = (jax.device_put(ids_p, sh), jax.device_put(enc, sh),
                      None if scale is None else jax.device_put(scale, sh),
-                     mids, rows, colors)
+                     mids, gathered, colors)
         self.timers.tally("stage_rows", float(mids.size))
         return stage
 
-    def _offer_stage(self, stage) -> None:
+    def _offer_stage(self, stage, return_evicted: bool = False):
         """Owner-partitioned insert of a window's staged rows (refresh, as
         the reference's mandatory miss insert; correctness never depends
-        on it). Reuses the hot rows already gathered for the stage."""
+        on it). Reuses the hot rows already gathered for the stage.
+        ``return_evicted`` threads through to the evict-reporting insert
+        kernel for the overlapped schedule."""
         _, _, _, mids, rows, colors = stage
         if mids.size == 0:
-            return
+            return None
         with self.timers.time("insert_dispatch"):
-            self.cache.insert_rows(mids, rows[: mids.size],
-                                   colors[: mids.size]
-                                   if self.colors is not None else None)
+            return self.cache.insert_rows(
+                mids, rows[: mids.size],
+                colors[: mids.size] if self.colors is not None else None,
+                return_evicted=return_evicted)
 
     def _prefetch_window(self, seeds_dev, keys, K: int):
         """Probe the window's residency across the mesh. Repairable misses
@@ -575,17 +617,23 @@ class ShardedResidentTrainer:
         round trip dominates the window itself on a tunneled device).
 
         Partial coverage: the software-pipelined STAGED schedule (the mesh
-        version of ResidentTrainer.train_windows). Device stream order per
-        window w is  window(w) -> offer(stage_w) -> probe(w+1),  so every
-        bitmap probe sees exactly the cache state its window's exchange
-        lookups will read; the stage overlay then serves every unserved
-        slot (residency misses AND bucket overflow) and the windows are
-        exact at any hit ratio. While window w runs, the host reads probe
-        w+1's bitmap, gathers the unique rows, and uploads the replicated
-        stage — the only per-window host syncs are the bitmap readbacks
-        (ADVICE r2 #1: the previous path blocked on per-window miss counts
-        and was not pipelined). Stage-served rows count as misses
-        (reference semantics: they came from the backing store)."""
+        version of ResidentTrainer.train_windows). With ``stage_overlap``
+        (default) device stream order per window w is
+            probe(w+1) -> window(w) -> offer(stage_w, evict-reporting)
+        — the bitmap probe sees the same pre-insert state the window's
+        exchange lookups read, so its readback and the host gather of
+        stage w+1 overlap window w's compute; lines the insert evicts are
+        all_gathered (replicated, multi-host-coherent) and patched into
+        the stage, preserving the superset guarantee. With
+        ``stage_overlap=False`` the serial order
+            window(w) -> offer(stage_w) -> probe(w+1)
+        keeps the probe exact by construction at the cost of the gather
+        on the critical path. The stage overlay serves every unserved
+        slot (residency misses AND bucket overflow) either way, and the
+        windows are exact at any hit ratio (ADVICE r2 #1: the pre-r3 path
+        blocked on per-window miss counts and was not pipelined).
+        Stage-served rows count as misses (reference semantics: they came
+        from the backing store)."""
         M = seeds_grids.shape[0]
         keys = list(jax.random.split(key, M)) if _keys is None else _keys
         losses_out: list = [None] * M
@@ -607,6 +655,14 @@ class ShardedResidentTrainer:
         for w in range(M):
             snaps[w] = (params, opt_state)
             if staged:
+                probe_next = None
+                if self.stage_overlap and w + 1 < M:
+                    # overlapped: probe w+1 precedes window w on the
+                    # stream (sees the same pre-insert state), so its
+                    # readback + host gather overlap the window; the
+                    # insert's evicted ids patch the stage afterwards
+                    probe_next = self._probe_window_staged(
+                        seeds_dev[w + 1], keydata[w + 1])
                 k_win = self._window_staged_jit(params, opt_state,
                                                 stage[2] is not None)
                 with self.timers.time("window_dispatch"):
@@ -615,11 +671,16 @@ class ShardedResidentTrainer:
                         self._g, self._labels_dev, self.cache.state,
                         *(s for s in stage[:3] if s is not None),
                         params, opt_state, seeds_dev[w], keydata[w])
+                ev = None
                 if self.stage_admit:
-                    self._offer_stage(stage)
+                    ev = self._offer_stage(
+                        stage, return_evicted=probe_next is not None)
                 if w + 1 < M:
-                    stage = self._build_stage(self._probe_window_staged(
-                        seeds_dev[w + 1], keydata[w + 1]))
+                    if probe_next is not None:
+                        stage = self._build_stage(probe_next, evicted=ev)
+                    else:
+                        stage = self._build_stage(self._probe_window_staged(
+                            seeds_dev[w + 1], keydata[w + 1]))
             else:
                 with self.timers.time("window_dispatch"):
                     params, opt_state, losses, miss, hits, edges = \

@@ -493,3 +493,76 @@ def test_degree_priorities_resist_scans(setup):
     # a hub line may only be displaced by a HIGHER-degree hub, never by the
     # cold scan: residency of the hub set must not shrink
     assert hit1.sum() >= resident0
+
+
+def test_staged_overlap_matches_serial_schedule(setup):
+    """The overlapped staged schedule (probe w+1 before window w +
+    evicted-row patching, r3) must train EXACTLY like the serial schedule
+    (probe after insert): both are exact at any hit ratio, so losses are
+    bitwise-equal even though their stage contents differ (the overlap
+    probe runs on pre-insert state and stages a superset). The replay
+    safety net must fire in neither."""
+    ds, store, _, _ = setup
+    model = make_model("sage", hidden=16, num_classes=8, num_layers=2,
+                       dropout=0.0)
+
+    def mk(overlap):
+        cfg = fc.CacheConfig(num_sets=8, ways=fc.WAYS, dim=32,
+                             cache_dim=fc.round_cache_dim(32), num_colors=0)
+        return ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                               labels=ds.labels, cache_cfg=cfg, model=model,
+                               tx=optax.adam(1e-2), fanouts=[5, 4],
+                               batch_size=32, direct=False,
+                               stage_overlap=overlap)
+
+    rng = np.random.default_rng(31)
+    M, K = 4, 3
+    grids = np.stack([
+        np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                  for _ in range(K)]) for _ in range(M)]).astype(np.int32)
+
+    def run(rt):
+        assert rt.cache_cfg.capacity < ds.graph.num_nodes
+        rt.prewarm(np.arange(rt.cache_cfg.capacity))
+        resolved = rt.resolve(rt.begin(grids[0, 0], jax.random.key(0)))
+        params = model.init(jax.random.key(0), resolved[0], resolved[1])
+        opt = rt.tx.init(params)
+        rt.stats()
+        out = rt.train_windows(params, opt, grids, jax.random.key(5))
+        s = rt.stats()
+        assert s["misses"] > 0                       # pressure was real
+        assert "replay" not in rt.timers.totals      # exactness held
+        return np.asarray(out[2])
+
+    np.testing.assert_array_equal(run(mk(True)), run(mk(False)))
+
+
+def test_staged_overlap_with_priorities(setup):
+    """Overlap + degree-priority admission (the bench pressure config):
+    the evict-reporting insert must thread priorities, stay exact, and
+    never trip the replay net."""
+    ds, store, _, _ = setup
+    model = make_model("sage", hidden=16, num_classes=8, num_layers=2,
+                       dropout=0.0)
+    cfg = fc.CacheConfig(num_sets=8, ways=fc.WAYS, dim=32,
+                         cache_dim=fc.round_cache_dim(32), num_colors=0)
+    rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                         labels=ds.labels, cache_cfg=cfg, model=model,
+                         tx=optax.adam(1e-2), fanouts=[5, 4], batch_size=32,
+                         direct=False, priorities="degree",
+                         stage_transport="int8")
+    rt.prewarm(np.arange(rt.cache_cfg.capacity))
+    rng = np.random.default_rng(7)
+    grids = np.stack([
+        np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                  for _ in range(3)]) for _ in range(3)]).astype(np.int32)
+    resolved = rt.resolve(rt.begin(grids[0, 0], jax.random.key(0)))
+    params = model.init(jax.random.key(0), resolved[0], resolved[1])
+    opt = rt.tx.init(params)
+    rt.stats()
+    params, opt, losses, edges = rt.train_windows(params, opt, grids,
+                                                  jax.random.key(5))
+    assert np.isfinite(np.asarray(losses)).all()
+    assert "replay" not in rt.timers.totals
+    s = rt.stats()
+    assert s["misses"] > 0

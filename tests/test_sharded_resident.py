@@ -369,3 +369,27 @@ def test_sharded_staged_bf16_transport_close():
         _mk_pressure_trainer(ds, store, mesh, model, 8, "bfloat16"),
         ds, model)
     np.testing.assert_allclose(l_f32, l_bf16, rtol=0.05, atol=0.05)
+
+
+def test_sharded_staged_overlap_matches_serial():
+    """Mesh overlap schedule (probe before window + replicated evicted-id
+    patching, r3) must train EXACTLY like the serial schedule — both are
+    exact at any hit ratio — and never trip the replay net."""
+    ds = synthetic_graph(num_nodes=3000, avg_degree=8, feature_dim=24,
+                         num_classes=4, seed=67)
+    store = HostFeatureStore(ds.features)
+    mesh = make_mesh()
+    model = make_model("sage", hidden=16, num_classes=4, num_layers=2,
+                       dropout=0.0)
+    losses = {}
+    for overlap in (True, False):
+        rt = _mk_pressure_trainer(ds, store, mesh, model, num_sets=8,
+                                  transport="int8")
+        rt.stage_overlap = overlap
+        losses[overlap] = _run_staged_windows(rt, ds, model)
+        assert "replay" not in rt.timers.totals
+        s = rt.stats()
+        assert s["misses"] > 0
+        if overlap:
+            assert rt.timers.totals.get("evict_patch", 0) >= 0
+    np.testing.assert_array_equal(losses[True], losses[False])
