@@ -402,8 +402,11 @@ def main():
     num_nodes = int(os.environ.get("BENCH_NODES", 200_000))
     cache_mb = int(os.environ.get("BENCH_CACHE_MB", 1024))
     bf16 = bool(int(os.environ.get("BENCH_BF16", 0)))
+    # 128 measured steps: at ~3 ms/step the 64-step window was only ~0.2s
+    # of wall time and dispatch jitter over the tunnel moved the headline
+    # +-15% run-to-run (r2: 22.6M, r3 first run: 18.9M, same code path)
     warmup, steps = int(os.environ.get("BENCH_WARMUP", 16)), \
-        int(os.environ.get("BENCH_STEPS", 64))
+        int(os.environ.get("BENCH_STEPS", 128))
 
     resident = bool(int(os.environ.get("BENCH_RESIDENT", 1)))
     if os.environ.get("BENCH_PER_STEP") is not None:

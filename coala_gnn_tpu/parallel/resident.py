@@ -494,6 +494,13 @@ class ResidentTrainer:
         still running on device; the evicted array is tiny and ready the
         moment the insert (right after the window) retires."""
         mids = self._probe_miss_ids(probe)
+        return self._stage_from_mids(mids, evicted)
+
+    def _stage_from_mids(self, mids, evicted=None):
+        """Host gather + transport encode + upload for a known miss-id
+        set (the overlapped schedule reads the probe EAGERLY — before the
+        window dispatch, while the stream is empty — and calls this after
+        dispatching the window so the gather overlaps its compute)."""
         gathered = np.zeros((mids.size, self.cache_cfg.dim), np.float32)
         with self.timers.time("host_gather"):
             if mids.size:
@@ -650,19 +657,21 @@ class ResidentTrainer:
         for w in range(M):
             snaps[w] = (params, opt_state)
             if staged:
-                probe_next = None
+                mids_next = None
                 if self.stage_overlap and w + 1 < M:
                     # OVERLAPPED schedule: probe w+1 dispatches BEFORE
-                    # window w, so on the device stream it sees exactly
-                    # the pre-insert state window w reads, and its
-                    # readback + the big stage gather run on the host
-                    # while window w computes. The insert below reports
-                    # what it evicted; _build_stage patches those rows in,
-                    # restoring the superset guarantee
+                    # window w (so it sees exactly the pre-insert state
+                    # window w reads) and its bitmap is read back
+                    # IMMEDIATELY — the stream is empty here, so on
+                    # stream-sync-d2h platforms this sync is cheap. The
+                    # big stage gather then runs while window w computes.
+                    # The insert below reports what it evicted;
+                    # _stage_from_mids patches those rows in, restoring
+                    # the superset guarantee
                     # (miss(w+1, post-insert) ⊆ probe misses ∪ evicted).
-                    probe_next = self._probe_window(
+                    mids_next = self._probe_miss_ids(self._probe_window(
                         seeds_dev[w + 1],
-                        self._window_keys(seeds_grids[w + 1], keys[w + 1]))
+                        self._window_keys(seeds_grids[w + 1], keys[w + 1])))
                 with self.timers.time("window_dispatch"):
                     (params, opt_state, losses, miss, hits, unres,
                      edges) = self._window_staged(
@@ -672,7 +681,7 @@ class ResidentTrainer:
                 evicted = None
                 if self.stage_admit:
                     with self.timers.time("insert_dispatch"):
-                        if probe_next is not None:
+                        if mids_next is not None:
                             self.cache, evicted = self._insert_stage_evict(
                                 self.cache, stage[0], stage[1], stage[2],
                                 stage[3], stage[4])
@@ -683,9 +692,9 @@ class ResidentTrainer:
                         else:
                             self._offer_stage(stage)
                 if w + 1 < M:
-                    if probe_next is not None:
-                        stage = self._build_stage(probe_next,
-                                                  evicted=evicted)
+                    if mids_next is not None:
+                        stage = self._stage_from_mids(mids_next,
+                                                      evicted=evicted)
                     else:
                         stage = self._build_stage(self._probe_window(
                             seeds_dev[w + 1],

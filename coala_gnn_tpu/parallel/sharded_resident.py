@@ -461,6 +461,21 @@ class ShardedResidentTrainer:
         with self.timers.time("probe_wait"):
             arr = read_replicated(bm)
         mids = np.flatnonzero(arr[: self.graph.num_nodes]).astype(np.int32)
+        return self._stage_from_mids(mids, evicted)
+
+    def _probe_mids(self, bm) -> np.ndarray:
+        """Bitmap readback (ONE replicated d2h) -> sorted unique miss ids."""
+        from coala_gnn_tpu.parallel.multihost import read_replicated
+        with self.timers.time("probe_wait"):
+            arr = read_replicated(bm)
+        return np.flatnonzero(arr[: self.graph.num_nodes]).astype(np.int32)
+
+    def _stage_from_mids(self, mids, evicted=None):
+        """Host gather + transport encode + replicated upload for a known
+        miss-id set (the overlapped schedule reads the probe eagerly while
+        the stream is empty, then calls this after dispatching the window
+        so the gather overlaps its compute)."""
+        from coala_gnn_tpu.parallel.multihost import read_replicated
         gathered = np.zeros((mids.size, self.cache.cfg.dim), np.float32)
         with self.timers.time("host_gather"):
             if mids.size:
@@ -655,14 +670,16 @@ class ShardedResidentTrainer:
         for w in range(M):
             snaps[w] = (params, opt_state)
             if staged:
-                probe_next = None
+                mids_next = None
                 if self.stage_overlap and w + 1 < M:
                     # overlapped: probe w+1 precedes window w on the
-                    # stream (sees the same pre-insert state), so its
-                    # readback + host gather overlap the window; the
+                    # stream (sees the same pre-insert state) and its
+                    # bitmap is read back IMMEDIATELY while the stream is
+                    # empty (cheap even on stream-sync-d2h platforms);
+                    # the host gather then overlaps the window, and the
                     # insert's evicted ids patch the stage afterwards
-                    probe_next = self._probe_window_staged(
-                        seeds_dev[w + 1], keydata[w + 1])
+                    mids_next = self._probe_mids(self._probe_window_staged(
+                        seeds_dev[w + 1], keydata[w + 1]))
                 k_win = self._window_staged_jit(params, opt_state,
                                                 stage[2] is not None)
                 with self.timers.time("window_dispatch"):
@@ -674,10 +691,10 @@ class ShardedResidentTrainer:
                 ev = None
                 if self.stage_admit:
                     ev = self._offer_stage(
-                        stage, return_evicted=probe_next is not None)
+                        stage, return_evicted=mids_next is not None)
                 if w + 1 < M:
-                    if probe_next is not None:
-                        stage = self._build_stage(probe_next, evicted=ev)
+                    if mids_next is not None:
+                        stage = self._stage_from_mids(mids_next, evicted=ev)
                     else:
                         stage = self._build_stage(self._probe_window_staged(
                             seeds_dev[w + 1], keydata[w + 1]))
