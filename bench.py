@@ -460,6 +460,16 @@ def main():
                              priorities="degree",
                              stage_transport="float32", window=pk)
             res["pressure"] = summarize(p)
+            # bf16 stage transport: halves the dominant per-window stage
+            # upload (the f32 row is transfer-bound and highly sensitive
+            # to link bandwidth — measured 1.9x-6.3x across runs on the
+            # tunnel) at near-f32 fidelity
+            pb = run_resident(ds, B, fanouts, dim, hidden, press_mb, bf16,
+                              warmup, steps,
+                              tag="resident-pressure-bf16-transport",
+                              priorities="degree",
+                              stage_transport="bfloat16", window=pk)
+            res["pressure_bf16_transport"] = summarize(pb)
             # int8 stage TRANSPORT (f32 lines): 4x less host-link traffic
             # on the miss path — the knob for pressure regimes where the
             # link, not HBM, is the bottleneck.

@@ -555,7 +555,6 @@ class ShardedFeatureCache:
         if key in self._jit_cache:
             return self._jit_cache[key]
         cfg = self.cfg
-        n_dev = self.mesh.devices.size
         state_specs = jax.tree.map(lambda _: P(DATA_AXIS), self.state)
 
         def body(state, ids, rows, colors):

@@ -566,3 +566,33 @@ def test_staged_overlap_with_priorities(setup):
     assert "replay" not in rt.timers.totals
     s = rt.stats()
     assert s["misses"] > 0
+
+
+def test_staged_windows_bf16_transport_trains(setup):
+    """bf16 stage transport on the single-device trainer (the bench's
+    pressure_bf16_transport block): near-f32 fidelity at half the upload."""
+    ds, store, _, _ = setup
+    model = make_model("sage", hidden=16, num_classes=8, num_layers=2,
+                       dropout=0.0)
+    cfg = fc.CacheConfig(num_sets=8, ways=fc.WAYS, dim=32,
+                         cache_dim=fc.round_cache_dim(32), num_colors=0)
+    rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                         labels=ds.labels, cache_cfg=cfg, model=model,
+                         tx=optax.adam(1e-2), fanouts=[5, 4], batch_size=32,
+                         direct=False, stage_transport="bfloat16")
+    rt.prewarm(np.arange(rt.cache_cfg.capacity))
+    rng = np.random.default_rng(13)
+    grids = np.stack([
+        np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                  for _ in range(3)]) for _ in range(3)]).astype(np.int32)
+    resolved = rt.resolve(rt.begin(grids[0, 0], jax.random.key(0)))
+    params = model.init(jax.random.key(0), resolved[0], resolved[1])
+    opt = rt.tx.init(params)
+    rt.stats()
+    params, opt, losses, edges = rt.train_windows(params, opt, grids,
+                                                  jax.random.key(5))
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]            # learning through bf16 stages
+    assert "replay" not in rt.timers.totals
+    assert rt.stats()["misses"] > 0
