@@ -16,13 +16,16 @@ Three formulations:
     then a weighted reduce — better for small dims / when the 3-D tensor is
     needed anyway (GAT attention).
   - **contiguous blocks** (``adj is None``): the device sampler's
-    ``dedup=False`` layout places the sampled neighbor of slot (i, k) at row
-    ``cap_dst + i*fanout + k`` of the layer input — a *static* arange. The
-    neighbor tensor is then a free ``reshape`` of a contiguous slice and the
-    weighted sum compiles to one streaming multiply-reduce at HBM bandwidth:
-    no random gather reaches the model at all (the only random access per
-    step is the cache lookup). This is the fast path the resident pipeline
-    rides; ``agg_sum``/``agg_mean``/``neighbor_view`` dispatch on it.
+    ``dedup=False`` layout places the sampled neighbor of slot (i, k) at
+    row ``cap_dst + k*cap_dst + i`` of the layer input (SLOT-major, r3) —
+    a *static* arange. The weighted fanout sum is then ``fanout``
+    streaming FMAs over contiguous ``[cap_dst, dim]`` planes — no random
+    gather reaches the model at all (the only random access per step is
+    the cache lookup). Slot-major instead of dst-major because non-pow2
+    fanouts (the common case: 10, 15) break sublane alignment in the
+    ``[n, fanout, dim]`` form — measured 130 vs 74 GB/s on v5e at
+    fanout=10. This is the fast path the resident pipeline rides;
+    ``agg_sum``/``agg_mean``/``neighbor_view`` dispatch on it.
 """
 
 from __future__ import annotations
@@ -66,17 +69,27 @@ def padded_mean(x_src: jax.Array, adj: jax.Array, mask: jax.Array) -> jax.Array:
 
 # ---- block-aware dispatch (contiguous fast path) -------------------------
 
+def slot_planes(x_src: jax.Array, shape: tuple) -> jax.Array:
+    """[fanout, cap_dst, *] slot-major neighbor planes for a contiguous
+    block (slot (i, k) at row cap_dst + k*cap_dst + i): a zero-cost
+    reshape of a contiguous slice."""
+    cap_dst, fanout = shape
+    sl = jax.lax.slice_in_dim(x_src, cap_dst, cap_dst + cap_dst * fanout)
+    return sl.reshape(fanout, cap_dst, *x_src.shape[1:])
+
+
 def neighbor_view(x_src: jax.Array, adj: Optional[jax.Array],
                   shape: tuple) -> jax.Array:
     """[n_dst, fanout, *] neighbor tensor for a block.
 
-    shape = (cap_dst, fanout). ``adj is None`` marks the contiguous layout
-    (slot (i, k) at row cap_dst + i*fanout + k): a zero-cost reshape of a
-    slice. Otherwise one 3-D gather."""
-    cap_dst, fanout = shape
+    shape = (cap_dst, fanout). ``adj is None`` marks the contiguous
+    slot-major layout: a reshape + logical transpose (XLA fuses it into
+    elementwise consumers; reduction-heavy consumers should prefer
+    ``slot_planes`` and keep the fanout axis leading). Otherwise one 3-D
+    gather."""
     if adj is None:
-        sl = jax.lax.slice_in_dim(x_src, cap_dst, cap_dst + cap_dst * fanout)
-        return sl.reshape(cap_dst, fanout, *x_src.shape[1:])
+        planes = slot_planes(x_src, shape)
+        return jnp.swapaxes(planes, 0, 1)
     return x_src[adj]
 
 
@@ -85,8 +98,18 @@ def agg_sum(x_src: jax.Array, adj: Optional[jax.Array],
     """Weighted neighbor sum; dispatches to the contiguous streaming path
     when ``adj is None`` (see module docstring)."""
     if adj is None:
-        nbr = neighbor_view(x_src, None, weights.shape)    # free reshape
-        return jnp.einsum("nfd,nf->nd", nbr, weights.astype(x_src.dtype))
+        cap_dst, fanout = weights.shape
+        w = weights.astype(x_src.dtype)
+        # fanout static plane-FMAs: each term streams one contiguous
+        # [cap, dim] slice (the 130 GB/s form; einsum over the slot-major
+        # view measures within ~5%, the [n, fanout, dim] dst-major form
+        # only 74 GB/s at fanout=10)
+        acc = jnp.zeros((cap_dst, x_src.shape[1]), x_src.dtype)
+        for k in range(fanout):
+            plane = jax.lax.slice_in_dim(
+                x_src, cap_dst * (1 + k), cap_dst * (2 + k))
+            acc = acc + plane * w[:, k][:, None]
+        return acc
     return padded_gather_sum(x_src, adj, weights)
 
 

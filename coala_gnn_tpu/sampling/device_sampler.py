@@ -187,15 +187,21 @@ def sample_blocks_device(g: DeviceGraph, seeds: jax.Array,
 
         key, sub = jax.random.split(key)
         nbr, mask, rel = _sample_layer(g, dst, fanout, sub)
-        cat = jnp.concatenate([dst, nbr.reshape(-1)])
         if dedup:
+            cat = jnp.concatenate([dst, nbr.reshape(-1)])
             uniq, local, num = _dedup_first_occurrence(cat, sentinel)
             adj = local[cap_dst:].reshape(cap_dst, fanout)
             ids, dst, num_dst = uniq, uniq, num
         else:
-            # static local indexing: slot (i, k) lives at cap_dst + i*F + k.
-            # adj=None marks this contiguous layout — consumers reshape
-            # instead of gathering (ops/aggregate.neighbor_view).
+            cat = jnp.concatenate([dst, nbr.T.reshape(-1)])
+            # static local indexing, SLOT-MAJOR: slot (i, k) lives at row
+            # cap_dst + k*cap_dst + i. adj=None marks this contiguous
+            # layout — consumers reshape instead of gathering
+            # (ops/aggregate.neighbor_view). Slot-major (not dst-major,
+            # r3): the weighted fanout reduce becomes F streaming
+            # plane-FMAs over [cap, D] slices — measured 130 vs 74 GB/s
+            # on v5e at F=10, where dst-major's 10-row sublane groups
+            # break the vreg layout (pow2 fanouts were fine either way).
             adj = None
             ids = cat
             valid_dst = cat != sentinel

@@ -257,7 +257,10 @@ def sample_blocks_sharded(st_local: ShardedTopology, num_nodes: int,
         nbr, mask, rel = _sample_layer_sharded(indptr, indices, et, dst,
                                                fanout, sub, n_dev,
                                                num_nodes)
-        cat = jnp.concatenate([dst, nbr.reshape(-1)])
+        # slot-major contiguous layout (see device_sampler.py): slot
+        # (i, k) at row cap + k*cap + i — the fanout reduce streams
+        # per-slot [cap, D] planes at HBM bandwidth
+        cat = jnp.concatenate([dst, nbr.T.reshape(-1)])
         ids = cat
         valid_dst = cat != sentinel
         num = valid_dst.sum(dtype=jnp.int32)

@@ -41,8 +41,9 @@ def test_contiguous_agg_matches_gather(rng):
     cap_dst, fanout, dim = 12, 5, 8
     n_src = cap_dst + cap_dst * fanout
     x = rng.normal(size=(n_src, dim)).astype(np.float32)
-    adj = (cap_dst + np.arange(cap_dst * fanout, dtype=np.int32)
-           .reshape(cap_dst, fanout))
+    # slot-major contiguous layout (r3): slot (i, k) at cap + k*cap + i
+    adj = (cap_dst + np.arange(fanout, dtype=np.int32)[None, :] * cap_dst
+           + np.arange(cap_dst, dtype=np.int32)[:, None])
     w = rng.normal(size=(cap_dst, fanout)).astype(np.float32)
     mask = (rng.random((cap_dst, fanout)) < 0.7).astype(np.float32)
 
@@ -73,8 +74,8 @@ def test_contiguous_blocks_model_equivalence(rng):
     n_src0 = caps[0][0] * (fanouts[0] + 1)
     for cap_dst, f in caps:
         mask = (rng.random((cap_dst, f)) < 0.8).astype(np.float32)
-        adj = (cap_dst + np.arange(cap_dst * f, dtype=np.int32)
-               .reshape(cap_dst, f))
+        adj = (cap_dst + np.arange(f, dtype=np.int32)[None, :] * cap_dst
+               + np.arange(cap_dst, dtype=np.int32)[:, None])
         blocks_c.append(DeviceBlock(adj=None, mask=jnp.asarray(mask)))
         blocks_g.append(DeviceBlock(adj=jnp.asarray(adj),
                                     mask=jnp.asarray(mask)))
