@@ -12,7 +12,7 @@ Capacity pressure (the regime COALA exists for) runs through STAGED fused
 windows: a presample probe reports the window's cache misses as a node
 bitmap, the host gathers exactly those unique rows once and uploads them
 into a sideband *stage* buffer, and the fused window overlays stage rows
-onto cache misses with a searchsorted gather. Correctness therefore never
+onto cache misses via a per-window position map. Correctness never
 depends on cache inserts: the cache can reject one-touch rows (priority
 admission, feature_cache.insert_with_colors) and hub lines stay resident
 instead of thrashing — the reference's cache must admit every miss
@@ -277,6 +277,13 @@ class ResidentTrainer:
         def window_staged(g, labels_dev, cache, stage_ids, stage_rows,
                           stage_scale, params, opt_state, seeds_grid, key):
             U = stage_ids.shape[0]
+            # per-window stage position map: one [num_nodes] scatter here
+            # replaces a per-step searchsorted (log2(U) dependent
+            # gather-compare rounds on every frontier id, K times per
+            # window) with a single gather per step
+            pos_map = jnp.zeros(sentinel + 1, jnp.int32).at[
+                jnp.minimum(stage_ids, sentinel)].set(
+                jnp.arange(U, dtype=jnp.int32), mode="drop")
 
             def body(carry, inp):
                 params, opt_state = carry
@@ -288,10 +295,7 @@ class ResidentTrainer:
                 safe = jnp.where(valid, ids, 0)
                 _, feats, hit = eng_lookup(cache, safe, valid,
                                            count_stats=False)
-                # stage overlay: binary search of the sorted stage ids
-                pos = jnp.minimum(
-                    jnp.searchsorted(stage_ids, safe).astype(jnp.int32),
-                    U - 1)
+                pos = pos_map[safe]
                 found = (stage_ids[pos] == safe) & valid & ~hit
                 srows = stage_rows[pos]
                 if stage_scale is not None:

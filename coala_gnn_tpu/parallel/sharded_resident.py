@@ -333,6 +333,10 @@ class ShardedResidentTrainer:
             seeds_grid = seeds_grid[0]
             local = _to_local(state)
             U = stage_ids.shape[0]
+            # per-window stage position map (see resident.py window_staged)
+            pos_map = jnp.zeros(sentinel + 1, jnp.int32).at[
+                jnp.minimum(stage_ids, sentinel)].set(
+                jnp.arange(U, dtype=jnp.int32), mode="drop")
 
             def body(carry, inp):
                 params, opt_state = carry
@@ -345,9 +349,7 @@ class ShardedResidentTrainer:
                 _, feats, hit, _ovf = exchange_lookup(
                     cfg, bucket_cap, n_route, local, ids, valid)
                 safe = jnp.where(valid, ids, 0)
-                pos = jnp.minimum(
-                    jnp.searchsorted(stage_ids, safe).astype(jnp.int32),
-                    U - 1)
+                pos = pos_map[safe]
                 found = (stage_ids[pos] == safe) & valid & ~hit
                 srows = stage_rows[pos]
                 if stage_scale is not None:
