@@ -231,7 +231,7 @@ def run_host(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
 
     # HBM feature cache (the whole point): steady-state hits mean features
     # come from device HBM instead of crossing host->device every step.
-    cache = store = None
+    cache = None
     store = HostFeatureStore(ds.features)
     if cache_mb > 0:
         mesh = make_mesh(jax.devices()[:1])

@@ -27,8 +27,9 @@ from coala_gnn_tpu.ops.aggregate import agg_sum, neighbor_view
 
 
 class DeviceHeteroBlock(NamedTuple):
-    """``adj is None`` marks the device sampler's contiguous layout (slot
-    (i, k) at input row cap_dst + i*fanout + k) — neighbor access is a free
+    """``adj is None`` marks the device sampler's contiguous layout (slot-major
+    r3: slot (i, k) at input row cap_dst + k*cap_dst + i) — neighbor access
+    is a free
     reshape, same fast path as DeviceBlock (ops/aggregate.py)."""
 
     adj: Any          # int32 [cap_dst, fanout] local indices, or None

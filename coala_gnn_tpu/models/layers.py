@@ -27,8 +27,9 @@ class DeviceBlock(NamedTuple):
     """Device-side view of one sampled layer (see sampling.neighbor.Block).
 
     ``adj is None`` marks the device sampler's contiguous layout
-    (dedup=False: slot (i, k) lives at input row cap_dst + i*fanout + k), in
-    which case every neighbor access is a free reshape instead of a gather —
+    (dedup=False, SLOT-major r3: slot (i, k) lives at input row
+    cap_dst + k*cap_dst + i), in which case every neighbor access is a free
+    reshape instead of a gather —
     see ops/aggregate.py. None is an empty pytree so both layouts trace
     through jit/shard_map with the same code."""
 

@@ -30,8 +30,9 @@ strategy was driven to either a hard lowering limit or a measured loss:
    read compiles fine).
 3. THIS kernel — fully-static unroll (no loop-carried vectors, static
    output stores, dynamic VMEM reads only): compiles, bit-exact vs the
-   XLA formulation, and measures **24.7 GB/s** vs XLA's **136.7 GB/s**
-   at identical shapes (S=16k, N=32k, F=10, D=256): per-row dynamic
+   XLA formulation, and measures **45 GB/s** vs XLA's **138 GB/s**
+   at identical shapes (24.7 standalone, 45 with the grid pipelining of
+   the jitted wrapper; BENCH_OPS_r03.json) (S=16k, N=32k, F=10, D=256): per-row dynamic
    sublane slicing issues at VPU/scalar-unit rate, ~5.5x below XLA's
    native gather, which uses hardware gather machinery Mosaic does not
    expose.
@@ -76,7 +77,7 @@ def _kernel(fanout: int, dim: int, tile_n: int,
 def gather_sum_vmem(x: jax.Array, adj: jax.Array, w: jax.Array,
                     interpret: bool = False) -> jax.Array:
     """x [S, D] (f32/bf16, D multiple of 128, table <~ 100 MB), adj int32
-    [N, F], w f32 [N, F] -> out [N, F] f32. Mask folds into w (w=0 slots
+    [N, F], w f32 [N, F] -> out [N, D] f32. Mask folds into w (w=0 slots
     are no-ops). The whole table rides one VMEM block shared across grid
     steps; adj/w tiles stream per step."""
     n, fanout = adj.shape

@@ -79,6 +79,29 @@ def encode_stage_rows(rows: np.ndarray, transport: str):
     raise ValueError(f"unknown stage transport {transport!r}")
 
 
+def merge_evicted_patch(mids: np.ndarray, gathered: np.ndarray,
+                        evicted_ids: np.ndarray, host_fetch):
+    """Merge a previous insert's evicted ids into a probe-miss stage as
+    PATCH rows (overlapped schedule, single-device + mesh): patch rows are
+    included in the window overlay (exactness: the probe ran before the
+    insert and could not see these evictions) but marked non-offerable —
+    re-admitting rows no window requested evicts useful lines and
+    ping-pongs with the next insert (measured: hit-ratio regression vs the
+    serial schedule). Returns (mids, gathered, offer bool[n]) with the
+    merge kept id-sorted for the position map."""
+    offer = np.ones(mids.size, bool)
+    ev = np.unique(evicted_ids[evicted_ids >= 0]).astype(np.int32)
+    ev = ev[np.isin(ev, mids, assume_unique=True, invert=True)]
+    if ev.size:
+        ev_rows = host_fetch(ev.astype(np.int64)).astype(np.float32,
+                                                         copy=False)
+        order = np.argsort(np.concatenate([mids, ev]), kind="stable")
+        mids = np.concatenate([mids, ev])[order]
+        gathered = np.concatenate([gathered, ev_rows])[order]
+        offer = np.concatenate([offer, np.zeros(ev.size, bool)])[order]
+    return mids, gathered, offer
+
+
 @dataclasses.dataclass
 class ResidentTrainer:
     graph: object                 # host CSCGraph
@@ -376,11 +399,11 @@ class ResidentTrainer:
         # admission-filtered cache offer of a window's staged rows (same
         # decode as the window's overlay; stage pad id INT32_MAX -> invalid)
         def insert_stage(cache, stage_ids, stage_rows, stage_scale,
-                         colors_d, prios_d):
+                         colors_d, prios_d, offer):
             rows = stage_rows
             if stage_scale is not None:
                 rows = fc.dequantize_rows(rows, stage_scale)
-            valid = stage_ids != INT32_MAX
+            valid = (stage_ids != INT32_MAX) & offer
             return eng_insert(cache, jnp.where(valid, stage_ids, 0),
                               rows.astype(jnp.float32), valid, colors_d,
                               prios_d)
@@ -389,13 +412,15 @@ class ResidentTrainer:
 
         # overlap variant: also report which resident lines the insert
         # evicted (associative tier only — the flat tier never evicts, so
-        # the overlapped schedule needs no patch there)
+        # the overlapped schedule needs no patch there). `offer` excludes
+        # evicted-patch rows: re-admitting rows no window requested evicts
+        # useful lines and ping-pongs with the next insert.
         def insert_stage_evict(cache, stage_ids, stage_rows, stage_scale,
-                               colors_d, prios_d):
+                               colors_d, prios_d, offer):
             rows = stage_rows
             if stage_scale is not None:
                 rows = fc.dequantize_rows(rows, stage_scale)
-            valid = stage_ids != INT32_MAX
+            valid = (stage_ids != INT32_MAX) & offer
             return fc.insert_with_colors(
                 cfg, cache, jnp.where(valid, stage_ids, 0),
                 rows.astype(jnp.float32), valid, colors_d,
@@ -511,22 +536,17 @@ class ResidentTrainer:
                 # the big transfer — overlaps the window running on device
                 gathered = self.host_fetch(mids.astype(np.int64)) \
                     .astype(np.float32, copy=False)
+        offer = np.ones(mids.size, bool)
         if evicted is not None:
             with self.timers.time("evict_patch"):
-                ev = np.asarray(evicted)      # ready right after the window
-                ev = np.unique(ev[ev >= 0]).astype(np.int32)
-                ev = ev[np.isin(ev, mids, assume_unique=True,
-                                invert=True)]
-                if ev.size:
-                    ev_rows = self.host_fetch(ev.astype(np.int64)) \
-                        .astype(np.float32, copy=False)
-                    order = np.argsort(np.concatenate([mids, ev]),
-                                       kind="stable")
-                    mids = np.concatenate([mids, ev])[order]
-                    gathered = np.concatenate([gathered, ev_rows])[order]
+                # readback is ready right after the window+insert retire
+                mids, gathered, offer = merge_evicted_patch(
+                    mids, gathered, np.asarray(evicted), self.host_fetch)
         u_cap = _pow2(max(mids.size, 1))
         ids_p = np.full(u_cap, INT32_MAX, np.int32)
         ids_p[: mids.size] = mids
+        offer_p = np.zeros(u_cap, bool)
+        offer_p[: mids.size] = offer
         with self.timers.time("stage_encode"):
             # encode the REAL rows only, then pad the encoded (padding
             # the f32 rows first and encoding u_cap rows cost up to 1.6x
@@ -547,17 +567,19 @@ class ResidentTrainer:
         with self.timers.time("stage_upload"):
             stage = (jnp.asarray(ids_p), jnp.asarray(enc),
                      None if scale is None else jnp.asarray(scale),
-                     jnp.asarray(colors_d), jnp.asarray(prios_d))
+                     jnp.asarray(colors_d), jnp.asarray(prios_d),
+                     jnp.asarray(offer_p))
         self.timers.tally("stage_rows", float(mids.size))
         return stage
 
     def _offer_stage(self, stage) -> None:
         """Offer a window's staged rows to the cache (priority admission
         filters them; without priorities this refreshes like the reference's
-        mandatory miss insert)."""
+        mandatory miss insert). Evicted-patch rows are excluded (stage[5])."""
         ids_p = stage[0]
         self.cache = self._insert_stage(self.cache, ids_p, stage[1],
-                                        stage[2], stage[3], stage[4])
+                                        stage[2], stage[3], stage[4],
+                                        stage[5])
 
     def _repair_from_probe(self, probe) -> None:
         """Per-step compat path: read a probe's miss ids and insert them
@@ -624,8 +646,8 @@ class ResidentTrainer:
         guaranteed to hit — `misses` stays 0, matching r2 semantics.
 
         Associative tier under capacity pressure: the software-pipelined
-        STAGED schedule. With ``stage_overlap`` (default) device stream
-        order per window w is
+        STAGED schedule. With ``stage_overlap`` (optional; default is the
+        serial schedule below) device stream order per window w is
             probe(w+1) -> window(w) -> insert(stage_w, evict-reporting)
         — the probe sees the same pre-insert state the window reads, so
         its readback retires almost immediately and the host gathers
@@ -633,7 +655,9 @@ class ResidentTrainer:
         not foresee (lines insert(stage_w) evicts) are read back from the
         insert (tiny array) and patched into the stage, preserving
         exactness: miss(w+1, post-insert) ⊆ probe misses ∪ evicted.
-        With ``stage_overlap=False`` the serial order
+        With ``stage_overlap=False`` (the default: one sync per
+        window — the measured optimum on stream-sync-d2h platforms) the
+        serial order
             window(w) -> insert(stage_w) -> probe(w+1)
         keeps the probe exact by construction but puts the host gather on
         the critical path. Stage-served rows count as MISSES (they came
@@ -688,7 +712,7 @@ class ResidentTrainer:
                         if mids_next is not None:
                             self.cache, evicted = self._insert_stage_evict(
                                 self.cache, stage[0], stage[1], stage[2],
-                                stage[3], stage[4])
+                                stage[3], stage[4], stage[5])
                             try:
                                 evicted.copy_to_host_async()
                             except Exception:

@@ -478,25 +478,20 @@ class ShardedResidentTrainer:
         the stream is empty, then calls this after dispatching the window
         so the gather overlaps its compute)."""
         from coala_gnn_tpu.parallel.multihost import read_replicated
+        from coala_gnn_tpu.parallel.resident import merge_evicted_patch
         gathered = np.zeros((mids.size, self.cache.cfg.dim), np.float32)
         with self.timers.time("host_gather"):
             if mids.size:
                 gathered = self.host_fetch(mids.astype(np.int64)) \
                     .astype(np.float32, copy=False)
+        offer = np.ones(mids.size, bool)
         if evicted:
             with self.timers.time("evict_patch"):
                 ev = np.concatenate(
                     [np.asarray(read_replicated(h)).ravel()
                      for h in evicted])
-                ev = np.unique(ev[ev >= 0]).astype(np.int32)
-                ev = ev[np.isin(ev, mids, assume_unique=True, invert=True)]
-                if ev.size:
-                    ev_rows = self.host_fetch(ev.astype(np.int64)) \
-                        .astype(np.float32, copy=False)
-                    order = np.argsort(np.concatenate([mids, ev]),
-                                       kind="stable")
-                    mids = np.concatenate([mids, ev])[order]
-                    gathered = np.concatenate([gathered, ev_rows])[order]
+                mids, gathered, offer = merge_evicted_patch(
+                    mids, gathered, ev, self.host_fetch)
         u_cap = _pow2(max(mids.size, 1))
         ids_p = np.full(u_cap, INT32_MAX, np.int32)
         ids_p[: mids.size] = mids
@@ -516,7 +511,7 @@ class ShardedResidentTrainer:
         with self.timers.time("stage_upload"):
             stage = (jax.device_put(ids_p, sh), jax.device_put(enc, sh),
                      None if scale is None else jax.device_put(scale, sh),
-                     mids, gathered, colors)
+                     mids, gathered, colors, offer)
         self.timers.tally("stage_rows", float(mids.size))
         return stage
 
@@ -525,14 +520,18 @@ class ShardedResidentTrainer:
         the reference's mandatory miss insert; correctness never depends
         on it). Reuses the hot rows already gathered for the stage.
         ``return_evicted`` threads through to the evict-reporting insert
-        kernel for the overlapped schedule."""
-        _, _, _, mids, rows, colors = stage
+        kernel for the overlapped schedule. Evicted-patch rows (stage[6]
+        False) are excluded — re-admitting rows no window requested
+        evicts useful lines and ping-pongs with the next insert."""
+        _, _, _, mids, rows, colors, offer = stage
+        mids = mids[offer]
         if mids.size == 0:
             return None
         with self.timers.time("insert_dispatch"):
             return self.cache.insert_rows(
-                mids, rows[: mids.size],
-                colors[: mids.size] if self.colors is not None else None,
+                mids, rows[: offer.size][offer],
+                colors[: offer.size][offer] if self.colors is not None
+                else None,
                 return_evicted=return_evicted)
 
     def _prefetch_window(self, seeds_dev, keys, K: int):
@@ -635,14 +634,15 @@ class ShardedResidentTrainer:
 
         Partial coverage: the software-pipelined STAGED schedule (the mesh
         version of ResidentTrainer.train_windows). With ``stage_overlap``
-        (default) device stream order per window w is
+        (optional; the default is the serial schedule below) device
+        stream order per window w is
             probe(w+1) -> window(w) -> offer(stage_w, evict-reporting)
         — the bitmap probe sees the same pre-insert state the window's
         exchange lookups read, so its readback and the host gather of
         stage w+1 overlap window w's compute; lines the insert evicts are
         all_gathered (replicated, multi-host-coherent) and patched into
         the stage, preserving the superset guarantee. With
-        ``stage_overlap=False`` the serial order
+        ``stage_overlap=False`` (the default) the serial order
             window(w) -> offer(stage_w) -> probe(w+1)
         keeps the probe exact by construction at the cost of the gather
         on the critical path. The stage overlay serves every unserved

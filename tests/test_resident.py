@@ -550,7 +550,7 @@ def test_staged_overlap_with_priorities(setup):
                          labels=ds.labels, cache_cfg=cfg, model=model,
                          tx=optax.adam(1e-2), fanouts=[5, 4], batch_size=32,
                          direct=False, priorities="degree",
-                         stage_transport="int8")
+                         stage_transport="int8", stage_overlap=True)
     rt.prewarm(np.arange(rt.cache_cfg.capacity))
     rng = np.random.default_rng(7)
     grids = np.stack([

@@ -391,5 +391,5 @@ def test_sharded_staged_overlap_matches_serial():
         s = rt.stats()
         assert s["misses"] > 0
         if overlap:
-            assert rt.timers.totals.get("evict_patch", 0) >= 0
+            assert "evict_patch" in rt.timers.totals
     np.testing.assert_array_equal(losses[True], losses[False])
