@@ -218,3 +218,33 @@ def test_int8_response_exchange_matches_f32_response():
     err = np.abs(out8 - want).max()
     scale = np.abs(want).max(axis=-1).max()
     assert err <= scale / 127 + 1e-6
+
+
+@pytest.mark.parametrize("mode", ["sharded", "isolated"])
+def test_insert_rows_reports_evicted(mode):
+    """insert_rows(return_evicted=True): the replicated evicted-id arrays
+    name exactly the resident lines the insert displaced (the overlapped
+    staged schedule's patch source), in both routing modes. In isolated
+    mode every device holds identical state, so the all_gathered report
+    contains n_dev copies that dedup to one set."""
+    rng = np.random.default_rng(5)
+    feats = rng.normal(size=(N_NODES, DIM)).astype(np.float32)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    cfg = fc.CacheConfig(num_sets=4, ways=fc.WAYS, dim=DIM,
+                         cache_dim=fc.round_cache_dim(DIM), num_colors=0,
+                         num_shards=n_dev)
+    cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode=mode)
+    store = HostFeatureStore(feats)
+    warm = np.arange(4 * fc.WAYS * n_dev, dtype=np.int32)  # fill every set
+    cache.prewarm(warm, store.fetch)
+
+    new_ids = (warm.max() + 1 + np.arange(64)).astype(np.int32)
+    handles = cache.insert_rows(new_ids, feats[new_ids],
+                                return_evicted=True)
+    assert handles
+    ev = np.concatenate([np.asarray(h).ravel() for h in handles])
+    ev = np.unique(ev[ev >= 0])
+    assert ev.size > 0                       # full sets -> evictions
+    assert np.isin(ev, warm).all()           # victims were resident lines
+    assert not np.isin(ev, new_ids).any()    # never the inserted ids
