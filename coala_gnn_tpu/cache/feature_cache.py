@@ -372,6 +372,11 @@ def insert_with_colors(cfg: CacheConfig, cstate: ColoredCacheState,
     (node_distributor_pybind.cuh:191-195); here the counters stay exact
     because rejected rows never touch occupancy."""
     state = cstate.base
+    if prios is not None and cstate.line_prio is None:
+        raise ValueError(
+            "insert_with_colors got prios but the state was built without "
+            "track_prio=True — priority-aware eviction would be silently "
+            "lost; pass track_prio=True to init_colored_state")
     use_prio = prios is not None and cstate.line_prio is not None
     n = ids.shape[0]
     valid = _dedup_valid(ids, valid)

@@ -157,6 +157,27 @@ class SeedDistributor:
             out[j] = mine[: self.domain_batch]
         return out
 
+    def valid_mask(self, it: int) -> np.ndarray:
+        """bool [num_parts, domain_batch]: which slots of distribute(it)'s
+        output are real (non-wrapped) seeds. Only meaningful with
+        drop_tail=False, where the final window wrap-pads; earlier windows
+        are all-valid. Positional masking is only sound in ``baseline``
+        mode, whose striping preserves window order (a reordering mode like
+        node_color scatters wrapped duplicates anywhere) — exact-tail eval
+        must therefore use a baseline distributor, and this method refuses
+        otherwise rather than miscount silently."""
+        if self.mode != "baseline":
+            raise ValueError(
+                "valid_mask is positional and only sound for mode='baseline'"
+                " (node_color reorders slots); run exact-tail eval with a "
+                "baseline distributor")
+        if not 0 <= it < self.num_iters:
+            raise IndexError(f"iteration {it} out of range [0, {self.num_iters})")
+        n_real = min(self.global_batch,
+                     len(self.items) - it * self.global_batch)
+        return (np.arange(self.global_batch) < n_real).reshape(
+            self.num_parts, self.domain_batch)
+
     def device_slice(self, domain_seeds: np.ndarray, local_rank: int) -> np.ndarray:
         """This device's batch from its host's domain slice
         (COALA_GNN_DataLoader.py:72-75)."""

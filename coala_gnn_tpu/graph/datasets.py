@@ -210,6 +210,159 @@ def load_igb_npy(path: str, dataset_size: str = "tiny",
                    num_classes=num_classes, name=f"igb-{dataset_size}")
 
 
+def _flatten_hetero(edges, node_counts, predict_type: str,
+                    feats_by_type, labels_predict: np.ndarray,
+                    num_classes: int, add_reverse: bool,
+                    name: str) -> Dataset:
+    """Flatten a typed-node heterogeneous graph into one unified id space.
+
+    TPU-native hetero form: ONE node-id domain (static shapes, one feature
+    table, one cache) with a relation id per edge — replacing the
+    reference's per-etype DGL heterograph (dataloader.py:561-567). The
+    predict type sits at offset 0 so its local ids, labels, and splits
+    carry over unchanged.
+
+    edges        : list of (src_type, rel_name, dst_type, src_ids, dst_ids)
+                   — rel id = list position; with ``add_reverse`` each
+                   relation also gets a reversed twin with rel id
+                   len(edges) + position (the reference never adds
+                   reverses, so author/institute/fos features can never
+                   reach paper through its in-edge sampler; we default the
+                   fix ON and record it in ``name``)
+    node_counts  : {type: count}
+    feats_by_type: {type: [count, dim] array} — types may be absent
+                   (zero features, e.g. OGB-MAG author/institute); present
+                   types must share dim (true of IGB-hetero and required
+                   by the reference's shared-input-dim RGCN,
+                   examples/models.py:181-206)
+    labels_predict: labels for the predict type's nodes; other nodes get -1
+    """
+    types = [predict_type] + [t for t in node_counts if t != predict_type]
+    offsets = {}
+    off = 0
+    for t in types:
+        offsets[t] = off
+        off += int(node_counts[t])
+    total_nodes = off
+
+    dims = {int(f.shape[1]) for f in feats_by_type.values()}
+    if len(dims) != 1:
+        raise ValueError(f"hetero node-feature dims differ: {sorted(dims)}; "
+                         "the flattened feature table needs one dim")
+    dim = dims.pop()
+
+    srcs, dsts, rels = [], [], []
+    for rel_id, (st, _rn, dt, s, d) in enumerate(edges):
+        s = np.asarray(s, np.int64) + offsets[st]
+        d = np.asarray(d, np.int64) + offsets[dt]
+        srcs.append(s)
+        dsts.append(d)
+        rels.append(np.full(len(s), rel_id, np.int32))
+        if add_reverse:
+            srcs.append(d)
+            dsts.append(s)
+            rels.append(np.full(len(s), len(edges) + rel_id, np.int32))
+    graph = coo_to_csc(np.concatenate(srcs), np.concatenate(dsts),
+                       total_nodes, edge_types=np.concatenate(rels))
+    graph.num_edge_types = len(edges) * (2 if add_reverse else 1)
+
+    features = np.zeros((total_nodes, dim), np.float32)
+    for t, f in feats_by_type.items():
+        features[offsets[t]:offsets[t] + int(node_counts[t])] = f
+
+    labels = np.full(total_nodes, -1, np.int32)
+    n_pred = int(node_counts[predict_type])
+    labels[:n_pred] = np.asarray(labels_predict, np.int32).reshape(-1)[:n_pred]
+    train_idx, val_idx, test_idx = range_splits(n_pred)
+    return Dataset(graph=graph, features=features, labels=labels,
+                   train_idx=train_idx, val_idx=val_idx, test_idx=test_idx,
+                   num_classes=num_classes, name=name)
+
+
+def load_igb_hetero(path: str, dataset_size: str = "tiny",
+                    num_classes: int = 19, mmap: bool = True,
+                    add_reverse: bool = True) -> Dataset:
+    """IGB heterogeneous raw .npy directory layout, flattened.
+
+    Parity with reference examples/dataloader.py:534-636
+    (IGBHeteroDGLDataset): expects under ``<path>/<size>/processed/``
+    the edge dirs ``paper__cites__paper``, ``paper__written_by__author``,
+    ``author__affiliated_to__institute``, ``paper__topic__fos`` (each
+    ``edge_index.npy`` [E, 2] = (src, dst) columns, dataloader.py:561-566)
+    and per-type ``<type>/node_feat.npy`` + paper labels
+    (``node_label_19.npy`` / ``node_label_2K.npy``). Splits: 60/20/20
+    index ranges over paper nodes (dataloader.py:616-629)."""
+    base = os.path.join(path, dataset_size, "processed")
+    mode = "r" if mmap else None
+
+    def _edges(d):
+        e = np.load(os.path.join(base, d, "edge_index.npy"), mmap_mode=mode)
+        return np.asarray(e[:, 0]), np.asarray(e[:, 1])
+
+    feats = {t: np.load(os.path.join(base, t, "node_feat.npy"),
+                        mmap_mode=mode)
+             for t in ("paper", "author", "institute", "fos")}
+    label_file = "node_label_19.npy" if num_classes == 19 else "node_label_2K.npy"
+    labels = np.load(os.path.join(base, "paper", label_file))
+
+    pp = _edges("paper__cites__paper")
+    pa = _edges("paper__written_by__author")
+    ai = _edges("author__affiliated_to__institute")
+    pf = _edges("paper__topic__fos")
+    edges = [("paper", "cites", "paper", *pp),
+             ("paper", "written_by", "author", *pa),
+             ("author", "affiliated_to", "institute", *ai),
+             ("paper", "topic", "fos", *pf)]
+    counts = {t: int(f.shape[0]) for t, f in feats.items()}
+    return _flatten_hetero(edges, counts, "paper", feats, labels,
+                           num_classes, add_reverse,
+                           name=f"igb-hetero-{dataset_size}"
+                                + ("+rev" if add_reverse else ""))
+
+
+def load_ogb_mag_hetero(path: str, num_classes: int = 349,
+                        mmap: bool = True,
+                        add_reverse: bool = True) -> Dataset:
+    """OGB-MAG heterogeneous directory layout, flattened.
+
+    Parity with reference examples/dataloader.py:747-841
+    (OGBHeteroDGLDatasetMassive): under ``<path>/processed/`` the edge dirs
+    ``paper___cites___paper``, ``author___writes___paper``,
+    ``author___affiliated_with___institution`` (``edge_index.npy`` [2, E] —
+    note the transposed orientation vs IGB, dataloader.py:799-803), paper
+    features/labels only (``paper/node_feat.npy``, ``node_label.npy``;
+    negative labels clamp to 0, dataloader.py:781). author/institute get
+    zero features (the reference attaches none either)."""
+    base = os.path.join(path, "processed")
+    mode = "r" if mmap else None
+
+    def _edges(d):
+        e = np.load(os.path.join(base, d, "edge_index.npy"), mmap_mode=mode)
+        return np.asarray(e[0, :]), np.asarray(e[1, :])
+
+    pp = _edges("paper___cites___paper")
+    ap = _edges("author___writes___paper")
+    ai = _edges("author___affiliated_with___institution")
+    feat = np.load(os.path.join(base, "paper", "node_feat.npy"),
+                   mmap_mode=mode)
+    labels = np.asarray(
+        np.load(os.path.join(base, "paper", "node_label.npy"),
+                mmap_mode=mode)).reshape(-1).astype(np.int32)
+    labels[labels < 0] = 0  # reference clamp, dataloader.py:781
+
+    n_paper = int(feat.shape[0])
+    n_author = int(max(ap[0].max(), ai[0].max())) + 1
+    n_inst = int(ai[1].max()) + 1
+    edges = [("paper", "cites", "paper", *pp),
+             ("author", "writes", "paper", *ap),
+             ("author", "affiliated_to", "institute", *ai)]
+    counts = {"paper": n_paper, "author": n_author, "institute": n_inst}
+    return _flatten_hetero(edges, counts, "paper", {"paper": feat}, labels,
+                           num_classes, add_reverse,
+                           name="ogb-mag-hetero"
+                                + ("+rev" if add_reverse else ""))
+
+
 def load_preprocessed(path: str, num_classes: int, mmap: bool = True,
                       name: str = "preprocessed") -> Dataset:
     """Load a directory of csc_*.npy + features.npy + labels.npy artifacts
@@ -243,6 +396,11 @@ def load_dataset(name: str, **kwargs) -> Dataset:
         return synthetic_graph(**kwargs)
     if name.startswith("ogbn"):
         return _load_ogb(name, kwargs.get("root", "/root/data/ogb"))
+    if name in ("igb-hetero", "igbh"):
+        return load_igb_hetero(**kwargs)
+    if name in ("ogb-mag-hetero", "mag"):
+        kwargs.pop("dataset_size", None)
+        return load_ogb_mag_hetero(**kwargs)
     if name.startswith("igb"):
         return load_igb_npy(**kwargs)
     if name == "preprocessed":

@@ -46,10 +46,13 @@ def padded_gather_sum(x_src: jax.Array, adj: jax.Array,
     returns : [n_dst, dim]
     """
     fanout = adj.shape[1]
-    acc = jnp.zeros((adj.shape[0], x_src.shape[1]), dtype=x_src.dtype)
+    # accumulate in f32: chaining 10-15 bf16 adds loses ~2-3 mantissa bits
+    # vs the einsum form (dot_general accumulates in f32 on the MXU)
+    acc_t = jnp.float32 if x_src.dtype == jnp.bfloat16 else x_src.dtype
+    acc = jnp.zeros((adj.shape[0], x_src.shape[1]), dtype=acc_t)
     for k in range(fanout):  # static unroll: fanout is small (<= ~15)
-        acc = acc + x_src[adj[:, k]] * weights[:, k][:, None].astype(x_src.dtype)
-    return acc
+        acc = acc + x_src[adj[:, k]].astype(acc_t) * weights[:, k][:, None].astype(acc_t)
+    return acc.astype(x_src.dtype)
 
 
 def padded_gather_sum_dense(x_src: jax.Array, adj: jax.Array,
@@ -99,17 +102,20 @@ def agg_sum(x_src: jax.Array, adj: Optional[jax.Array],
     when ``adj is None`` (see module docstring)."""
     if adj is None:
         cap_dst, fanout = weights.shape
-        w = weights.astype(x_src.dtype)
+        # accumulate in f32 (bf16 chains of fanout adds regress precision
+        # vs the MXU-accumulated einsum this path replaced)
+        acc_t = jnp.float32 if x_src.dtype == jnp.bfloat16 else x_src.dtype
+        w = weights.astype(acc_t)
         # fanout static plane-FMAs: each term streams one contiguous
         # [cap, dim] slice (the 130 GB/s form; einsum over the slot-major
         # view measures within ~5%, the [n, fanout, dim] dst-major form
         # only 74 GB/s at fanout=10)
-        acc = jnp.zeros((cap_dst, x_src.shape[1]), x_src.dtype)
+        acc = jnp.zeros((cap_dst, x_src.shape[1]), acc_t)
         for k in range(fanout):
             plane = jax.lax.slice_in_dim(
                 x_src, cap_dst * (1 + k), cap_dst * (2 + k))
-            acc = acc + plane * w[:, k][:, None]
-        return acc
+            acc = acc + plane.astype(acc_t) * w[:, k][:, None]
+        return acc.astype(x_src.dtype)
     return padded_gather_sum(x_src, adj, weights)
 
 

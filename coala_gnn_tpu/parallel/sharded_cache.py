@@ -129,7 +129,8 @@ def _owner_rank(ids: jax.Array, valid: jax.Array, n_dev: int
 
 def exchange_lookup(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
                     local: fc.ColoredCacheState, ids: jax.Array,
-                    valid: jax.Array, int8_response: bool = True):
+                    valid: jax.Array, int8_response: bool = True,
+                    groups=None):
     """Core per-device probe (call from inside a shard_map body over the
     data axis): route ids to owners, probe, route features back.
 
@@ -140,6 +141,14 @@ def exchange_lookup(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
     Dequantize is elementwise, so which side of the wire it runs on is
     bitwise-irrelevant; int8_response=False forces the f32-response path
     (the parity test's oracle).
+
+    ``groups`` (axis_index_groups of contiguous same-host blocks, each of
+    size n_dev) scopes every all_to_all to the local (ICI) device group —
+    the node_local hierarchical mode: features NEVER cross hosts, exactly
+    the reference's one-NVSHMEM-world-per-node cache scoping
+    (nvshmem_manager.cuh:15-28); only seeds and cache-meta move cross-host.
+    With groups, n_dev is the GROUP size and owner = id % group_size is a
+    within-group position.
 
     Returns (local_state', feats [n_req, dim], hit [n_req], overflow
     [n_req]). n_dev == 1 degenerates to a local probe."""
@@ -152,12 +161,14 @@ def exchange_lookup(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
     c = bucket_cap
     owner, rank = _owner_rank(ids, valid, n_dev)
     routed = rank < c               # made it into a bucket
+    a2a = functools.partial(jax.lax.all_to_all, axis_name=DATA_AXIS,
+                            split_axis=0, concat_axis=0, tiled=True,
+                            axis_index_groups=groups)
 
     # Phase 1: route request ids to owners (send_requests parity).
     buckets = jnp.full((n_dev, c), -1, jnp.int32)
     buckets = buckets.at[owner, rank].set(ids, mode="drop")
-    req = jax.lax.all_to_all(buckets, DATA_AXIS, split_axis=0, concat_axis=0,
-                             tiled=True)                    # [n_dev, c]
+    req = a2a(buckets)                                      # [n_dev, c]
 
     # Owner-side probe (read_feature parity).
     req_flat = req.reshape(-1)
@@ -175,16 +186,11 @@ def exchange_lookup(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
     # Phase 2: features (and hit bits) back to requesters — int8 lines +
     # scales when quantized, f32 rows otherwise.
     if quant:
-        resp_q = jax.lax.all_to_all(q.reshape(n_dev, c, cfg.dim), DATA_AXIS,
-                                    split_axis=0, concat_axis=0, tiled=True)
-        resp_sc = jax.lax.all_to_all(sc.reshape(n_dev, c), DATA_AXIS,
-                                     split_axis=0, concat_axis=0, tiled=True)
+        resp_q = a2a(q.reshape(n_dev, c, cfg.dim))
+        resp_sc = a2a(sc.reshape(n_dev, c))
     else:
-        resp = jax.lax.all_to_all(feats.reshape(n_dev, c, cfg.dim),
-                                  DATA_AXIS, split_axis=0, concat_axis=0,
-                                  tiled=True)
-    hit_back = jax.lax.all_to_all(hit.reshape(n_dev, c), DATA_AXIS,
-                                  split_axis=0, concat_axis=0, tiled=True)
+        resp = a2a(feats.reshape(n_dev, c, cfg.dim))
+    hit_back = a2a(hit.reshape(n_dev, c))
 
     # Scatter back into request order (map_feat_data parity,
     # cache_kernel.cu:129-137).
@@ -204,10 +210,12 @@ def exchange_lookup(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
 
 def exchange_probe(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
                    local: fc.ColoredCacheState, ids: jax.Array,
-                   valid: jax.Array) -> Tuple[jax.Array, jax.Array]:
+                   valid: jax.Array, groups=None
+                   ) -> Tuple[jax.Array, jax.Array]:
     """Residency check across the mesh: route ids to owners, compare tags,
     route hit bits back. No feature movement, no state change — the cheap
-    prefetch-planning half of exchange_lookup.
+    prefetch-planning half of exchange_lookup. ``groups`` scopes the
+    exchange to ICI-local device blocks (node_local mode).
 
     Returns (hit, overflow) bool [n_req]. Overflow slots (requests beyond
     their (src, owner) bucket's capacity) are reported SEPARATELY from
@@ -222,15 +230,16 @@ def exchange_probe(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
     c = bucket_cap
     owner, rank = _owner_rank(ids, valid, n_dev)
     routed = rank < c
+    a2a = functools.partial(jax.lax.all_to_all, axis_name=DATA_AXIS,
+                            split_axis=0, concat_axis=0, tiled=True,
+                            axis_index_groups=groups)
     buckets = jnp.full((n_dev, c), -1, jnp.int32)
     buckets = buckets.at[owner, rank].set(ids, mode="drop")
-    req = jax.lax.all_to_all(buckets, DATA_AXIS, split_axis=0, concat_axis=0,
-                             tiled=True)
+    req = a2a(buckets)
     req_flat = req.reshape(-1)
     hit = fc.probe(cfg, local.base, jnp.where(req_flat >= 0, req_flat, 0),
                    req_flat >= 0)
-    hit_back = jax.lax.all_to_all(hit.reshape(n_dev, c), DATA_AXIS,
-                                  split_axis=0, concat_axis=0, tiled=True)
+    hit_back = a2a(hit.reshape(n_dev, c))
     g_owner = jnp.where(routed, owner, 0)
     g_rank = jnp.where(routed, rank, 0)
     return (hit_back[g_owner, g_rank] & routed & valid,
@@ -238,7 +247,7 @@ def exchange_probe(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
 
 
 def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
-                           packed_n_req: int,
+                           packed_n_req: int, groups,
                            state: ShardedCacheState, ids: jax.Array,
                            num_valid: jax.Array):
     """shard_map body wrapping exchange_lookup for the standalone fetch path.
@@ -262,7 +271,7 @@ def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
     valid = jnp.arange(n_req) < num_valid
     local = _to_local(state)
     local, out, out_hit, overflow = exchange_lookup(
-        cfg, bucket_cap, n_dev, local, ids, valid)
+        cfg, bucket_cap, n_dev, local, ids, valid, groups=groups)
     n_miss = (valid & (~out_hit | overflow)).sum(dtype=jnp.int32)
     total_miss = jax.lax.psum(n_miss, DATA_AXIS)
     max_miss = jax.lax.pmax(n_miss, DATA_AXIS)
@@ -270,7 +279,7 @@ def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
             total_miss, max_miss)
 
 
-def _fill_local(cfg: fc.CacheConfig, fill_cap: int, n_dev: int,
+def _fill_local(cfg: fc.CacheConfig, fill_cap: int, n_dev: int, groups,
                 state: ShardedCacheState, ids: jax.Array,
                 positions: jax.Array, rows: jax.Array,
                 miss_colors: jax.Array):
@@ -304,9 +313,12 @@ def _fill_local(cfg: fc.CacheConfig, fill_cap: int, n_dev: int,
     cl_b = jnp.zeros((n_dev, c), jnp.int32).at[owner, rank].set(
         miss_colors, mode="drop")
 
-    rid = jax.lax.all_to_all(id_b, DATA_AXIS, 0, 0, tiled=True).reshape(-1)
-    rft = jax.lax.all_to_all(ft_b, DATA_AXIS, 0, 0, tiled=True).reshape(-1, cfg.dim)
-    rcl = jax.lax.all_to_all(cl_b, DATA_AXIS, 0, 0, tiled=True).reshape(-1)
+    a2a = functools.partial(jax.lax.all_to_all, axis_name=DATA_AXIS,
+                            split_axis=0, concat_axis=0, tiled=True,
+                            axis_index_groups=groups)
+    rid = a2a(id_b).reshape(-1)
+    rft = a2a(ft_b).reshape(-1, cfg.dim)
+    rcl = a2a(cl_b).reshape(-1)
 
     local = fc.insert_with_colors(cfg, local, jnp.where(rid >= 0, rid, 0),
                                   rft, rid >= 0, rcl)
@@ -317,23 +329,48 @@ def _fill_local(cfg: fc.CacheConfig, fill_cap: int, n_dev: int,
 class ShardedFeatureCache:
     """Orchestrates the jitted exchange kernels + the host feature tier.
 
-    mode "sharded"  — ids hash-partitioned across all mesh devices, two-phase
-                      all_to_all exchange (reference nvshmem/nccl backends).
-    mode "isolated" — each device caches what it requests, no collectives
-                      (reference isolated backend).
+    mode "sharded"    — ids hash-partitioned across ALL mesh devices,
+                        two-phase all_to_all exchange (reference
+                        nvshmem/nccl backends). On a multi-host mesh every
+                        lookup's exchange rides DCN.
+    mode "node_local" — hierarchical: ids hash-partitioned across each
+                        HOST's devices only; every all_to_all is scoped to
+                        the local (ICI) device group via axis_index_groups.
+                        Each host's group caches its own working set
+                        independently; cross-host traffic is control-plane
+                        only (seed lists + cache-meta allgather). This is
+                        the reference's exact cache topology — one NVSHMEM
+                        world per node (nvshmem_manager.cuh:15-28), seeds
+                        steered cross-node by affinity
+                        (node_distributor_pybind.cuh:150-222).
+    mode "isolated"   — each device caches what it requests, no collectives
+                        (reference isolated backend).
     """
 
     cfg: fc.CacheConfig
     mesh: Mesh
     mode: str = "sharded"
     bucket_slack: float = 2.0
+    group_size: int = 0   # node_local: devices per (host) group; 0 = this
+                          # process's local device count (the host boundary)
 
     def __post_init__(self):
         n_dev = self.mesh.devices.size
-        if self.mode not in ("sharded", "isolated"):
+        if self.mode not in ("sharded", "isolated", "node_local"):
             raise ValueError(f"unknown cache mode {self.mode!r}")
+        self.groups = None
         if self.mode == "isolated" or n_dev == 1:
             self.n_route = 1
+        elif self.mode == "node_local":
+            L = self.group_size or max(n_dev // jax.process_count(), 1)
+            if n_dev % L:
+                raise ValueError(
+                    f"node_local group_size {L} must divide mesh size {n_dev}")
+            self.n_route = L
+            if L < n_dev:
+                self.groups = [[g * L + i for i in range(L)]
+                               for g in range(n_dev // L)]
+            # L == n_dev degenerates to the flat sharded exchange
         else:
             self.n_route = n_dev
         self.state = init_sharded_state(self.cfg, self.mesh)
@@ -378,7 +415,7 @@ class ShardedFeatureCache:
         state_specs = jax.tree.map(lambda _: P(DATA_AXIS), self.state)
         lookup = shard_map(
             functools.partial(_lookup_exchange_local, cfg, bucket_cap, n_dev,
-                              n_req if packed else 0),
+                              n_req if packed else 0, self.groups),
             mesh=mesh,
             in_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
@@ -398,7 +435,7 @@ class ShardedFeatureCache:
             m_cap, int(self.bucket_slack * m_cap / n_dev) + 128)
         state_specs = jax.tree.map(lambda _: P(DATA_AXIS), self.state)
         fill = shard_map(
-            functools.partial(_fill_local, cfg, fill_cap, n_dev),
+            functools.partial(_fill_local, cfg, fill_cap, n_dev, self.groups),
             mesh=mesh,
             in_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS),
                       P(DATA_AXIS), P(DATA_AXIS)),
@@ -583,15 +620,18 @@ class ShardedFeatureCache:
         warm state after its first epoch (hit ratios are printed and compared
         per epoch, COALA_GNN_DataLoader.py:170-174)."""
         ids = np.unique(np.asarray(ids, dtype=np.int32).reshape(-1))
-        n_dev = self.mesh.devices.size
         # ids must be the same global list on every process (deterministic
         # distributor/miss-union contract); each process loads only its own
         # devices' partitions, so chunk counts agree everywhere.
         if self.n_route > 1:     # sharded: host-side ownership partition
-            per_dev = [ids[ids % n_dev == p] for p in self.local_positions]
+            # node_local: owner position is within-GROUP (id % group_size ==
+            # device position % group_size) — every group caches the full
+            # list, like every reference node warming its own NVSHMEM world
+            mod = self.n_route
+            per_dev = [ids[ids % mod == p % mod] for p in self.local_positions]
             # global max partition size -> same chunk count on every process
-            counts = np.bincount(ids % n_dev, minlength=n_dev) \
-                if ids.size else np.zeros(n_dev, np.int64)
+            counts = np.bincount(ids % mod, minlength=mod) \
+                if ids.size else np.zeros(mod, np.int64)
             n_chunks = max(1, int(-(-counts.max() // chunk)))
         else:                    # isolated/private: every device caches all
             per_dev = [ids for _ in self.local_positions]
@@ -630,12 +670,12 @@ class ShardedFeatureCache:
         caller reads them when it patches the next stage."""
         ids = np.asarray(ids, dtype=np.int32).reshape(-1)
         rows = np.asarray(rows)
-        n_dev = self.mesh.devices.size
         if self.n_route > 1:
-            idx_dev = [np.flatnonzero(ids % n_dev == p)
+            mod = self.n_route   # == group size in node_local mode
+            idx_dev = [np.flatnonzero(ids % mod == p % mod)
                        for p in self.local_positions]
-            counts = np.bincount(ids % n_dev, minlength=n_dev) \
-                if ids.size else np.zeros(n_dev, np.int64)
+            counts = np.bincount(ids % mod, minlength=mod) \
+                if ids.size else np.zeros(mod, np.int64)
             n_chunks = max(1, int(-(-counts.max() // chunk)))
         else:
             idx_dev = [np.arange(ids.size) for _ in self.local_positions]

@@ -86,6 +86,7 @@ class ShardedResidentTrainer:
         mesh = self.cache.mesh
         self.mesh = mesh
         n_route = self.cache.n_route
+        groups = self.cache.groups   # node_local: ICI-scoped exchange blocks
         cfg, B, fanouts = self.cache.cfg, self.batch_size, list(self.fanouts)
         n_dev_mesh = mesh.devices.size
         num_nodes = self.graph.num_nodes
@@ -125,7 +126,7 @@ class ShardedResidentTrainer:
             valid = ids != sentinel
             local = _to_local(state)
             local, feats, hit, overflow = exchange_lookup(
-                cfg, bucket_cap, n_route, local, ids, valid)
+                cfg, bucket_cap, n_route, local, ids, valid, groups=groups)
             n_miss = (valid & (~hit | overflow)).sum(dtype=jnp.int32)
             n_edges = sum(b.mask.sum() for b in blocks)
             y = labels_dev[seeds]
@@ -222,7 +223,8 @@ class ShardedResidentTrainer:
                 blocks, ids, num = sample_fn(g, seeds, k1)
                 valid = ids != sentinel
                 _, feats, hit, overflow = exchange_lookup(
-                    cfg, bucket_cap, n_route, local, ids, valid)
+                    cfg, bucket_cap, n_route, local, ids, valid,
+                    groups=groups)
                 safe_pos = jnp.where(opos >= 0, opos, feats.shape[0])
                 feats = feats.at[safe_pos].set(orows.astype(feats.dtype),
                                                mode="drop")
@@ -271,7 +273,8 @@ class ShardedResidentTrainer:
                 _, ids, _ = sample_fn(g, seeds, k1)
                 valid = ids != sentinel
                 hit, overflow = exchange_probe(cfg, bucket_cap, n_route,
-                                               local, ids, valid)
+                                               local, ids, valid,
+                                               groups=groups)
                 return 0, (jnp.where(valid & ~hit & ~overflow, ids, -1),
                            jnp.where(overflow, ids, -1))
 
@@ -308,7 +311,7 @@ class ShardedResidentTrainer:
                 _, ids, _ = sample_fn(g, seeds, k1)
                 valid = ids != sentinel
                 hit, _ = exchange_probe(cfg, bucket_cap, n_route, local,
-                                        ids, valid)
+                                        ids, valid, groups=groups)
                 miss_ids = jnp.where(valid & ~hit, ids, sentinel)
                 return bm.at[miss_ids].max(jnp.uint8(1)), None
 
@@ -347,7 +350,8 @@ class ShardedResidentTrainer:
                 blocks, ids, num = sample_fn(g, seeds, k1)
                 valid = ids != sentinel
                 _, feats, hit, _ovf = exchange_lookup(
-                    cfg, bucket_cap, n_route, local, ids, valid)
+                    cfg, bucket_cap, n_route, local, ids, valid,
+                    groups=groups)
                 safe = jnp.where(valid, ids, 0)
                 pos = pos_map[safe]
                 found = (stage_ids[pos] == safe) & valid & ~hit
@@ -798,8 +802,12 @@ class ShardedResidentTrainer:
                   valid: Optional[np.ndarray] = None) -> int:
         """Jitted DP eval. ``valid`` (bool [n_dev, B], optional) masks out
         padded/wrapped seed slots — exact-tail accounting for splits that
-        don't fill a whole global batch. Multi-process safe: each process
-        counts its own devices' slots and the counts allgather-sum."""
+        don't fill a whole global batch. Derive it from
+        ``SeedDistributor.valid_mask(it)``: positional masks are only sound
+        for mode='baseline' (order-preserving striping); a reordering mode
+        like node_color scatters wrapped duplicates and valid_mask refuses.
+        Multi-process safe: each process counts its own devices' slots and
+        the counts allgather-sum."""
         blocks, feats, y = resolved
         ok = self._eval_b(params, blocks, feats, y)       # [n_dev, B] bool
         from coala_gnn_tpu.parallel.multihost import read_local_shards

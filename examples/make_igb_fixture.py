@@ -61,6 +61,52 @@ def write_igb_fixture(out: str, num_nodes: int = 4000, dim: int = 32,
     return out
 
 
+def write_igb_hetero_fixture(out: str, num_paper: int = 3000, dim: int = 32,
+                             size: str = "tiny", avg_degree: int = 8,
+                             seed: int = 0) -> str:
+    """Reference-format IGB HETERO fixture (dataloader.py:534-636 layout):
+    4 node types (paper/author/institute/fos, same feature dim), 4 edge
+    dirs with [E, 2] (src, dst) edge_index.npy, paper labels float32.
+    Paper subgraph comes from the learnable synthetic generator so hetero
+    end-to-end accuracy stays a usable oracle."""
+    rng = np.random.default_rng(seed)
+    ds = synthetic_graph(num_nodes=num_paper, avg_degree=avg_degree,
+                         feature_dim=dim, num_classes=19, seed=seed)
+    counts = {"paper": num_paper, "author": max(num_paper // 2, 8),
+              "institute": max(num_paper // 20, 4),
+              "fos": max(num_paper // 10, 4)}
+    base = os.path.join(out, size, "processed")
+    for t, n in counts.items():
+        os.makedirs(os.path.join(base, t), exist_ok=True)
+        feat = (ds.features if t == "paper" else
+                rng.normal(0, 1, size=(n, dim)).astype(np.float32))
+        np.save(os.path.join(base, t, "node_feat.npy"), feat)
+    np.save(os.path.join(base, "paper", "node_label_19.npy"),
+            ds.labels.astype(np.float32))
+
+    deg = np.diff(ds.graph.indptr)
+    dst = np.repeat(np.arange(num_paper, dtype=np.int32), deg)
+    src = np.asarray(ds.graph.indices, dtype=np.int32)
+    def _dump(d, s, t):
+        os.makedirs(os.path.join(base, d), exist_ok=True)
+        np.save(os.path.join(base, d, "edge_index.npy"),
+                np.stack([np.asarray(s, np.int32),
+                          np.asarray(t, np.int32)], axis=1))
+    _dump("paper__cites__paper", src, dst)
+    n_pa = num_paper * 2
+    _dump("paper__written_by__author",
+          rng.integers(0, counts["paper"], n_pa),
+          rng.integers(0, counts["author"], n_pa))
+    n_ai = counts["author"]
+    _dump("author__affiliated_to__institute",
+          np.arange(n_ai), rng.integers(0, counts["institute"], n_ai))
+    n_pf = num_paper
+    _dump("paper__topic__fos",
+          rng.integers(0, counts["paper"], n_pf),
+          rng.integers(0, counts["fos"], n_pf))
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", type=str, required=True)
@@ -71,9 +117,16 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--csc", action="store_true",
                    help="also write the csc_*.npy preprocessed layout")
+    p.add_argument("--hetero", action="store_true",
+                   help="write the 4-node-type hetero layout instead "
+                        "(reference dataloader.py:534-636)")
     a = p.parse_args()
-    root = write_igb_fixture(a.out, a.num_nodes, a.dim, a.size,
-                             a.avg_degree, a.seed, a.csc)
+    if a.hetero:
+        root = write_igb_hetero_fixture(a.out, a.num_nodes, a.dim, a.size,
+                                        a.avg_degree, a.seed)
+    else:
+        root = write_igb_fixture(a.out, a.num_nodes, a.dim, a.size,
+                                 a.avg_degree, a.seed, a.csc)
     print(f"wrote IGB-format fixture to {root}", file=sys.stderr)
 
 

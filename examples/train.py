@@ -46,8 +46,13 @@ def parse_args(argv=None):
     p.add_argument("--cache_size", type=int, default=0,
                    help="feature cache MB; 0 = direct host gather")
     p.add_argument("--cache_backend", type=str, default="sharded",
-                   choices=["sharded", "isolated", "nvshmem", "nccl"],
-                   help="nvshmem/nccl (reference names) alias sharded")
+                   choices=["sharded", "isolated", "node_local",
+                            "nvshmem", "nccl"],
+                   help="nvshmem/nccl (reference names) alias sharded; "
+                        "node_local scopes the exchange to each host's "
+                        "devices (ICI only) — the reference's "
+                        "NVSHMEM-world-per-node topology "
+                        "(nvshmem_manager.cuh:15-28)")
     p.add_argument("--devices", type=int, default=0,
                    help="limit local devices (0 = all)")
     p.add_argument("--feat_cpu", action="store_true",
@@ -234,7 +239,7 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
             key, k1 = jax.random.split(key)
             resolved = rt.resolve(rt.begin(grid, k1))
             n_real = min(gb, n_test - it * gb)
-            valid = (np.arange(gb) < n_real).reshape(n_dev, B)
+            valid = ed.valid_mask(it).reshape(n_dev, B)
             correct += rt.eval_step(params, resolved, valid=valid)
             total += n_real
         print(f"Test accuracy: {correct / max(total, 1):.4f} ({total} nodes)")
@@ -354,12 +359,16 @@ def main(argv=None):
         from coala_gnn_tpu.cache import feature_cache as fc
 
         # backend names accept the reference's (Cache_compare_script.sh:28-34):
-        # nvshmem/nccl -> the one all_to_all sharded exchange; isolated -> private
+        # nvshmem/nccl -> the one all_to_all sharded exchange; isolated ->
+        # private; node_local -> per-host (ICI-scoped) exchange groups
         mode = {"nvshmem": "sharded", "nccl": "sharded",
-                "sharded": "sharded", "isolated": "isolated"}[args.cache_backend]
+                "sharded": "sharded", "isolated": "isolated",
+                "node_local": "node_local"}[args.cache_backend]
+        shards = {"sharded": mesh.devices.size, "isolated": 1,
+                  "node_local": max(mesh.devices.size // n_hosts, 1)}[mode]
         cfg = fc.make_config(cache_mb=args.cache_size, dim=ds.feature_dim,
                              num_colors=0 if meta is None else meta.num_colors,
-                             num_shards=mesh.devices.size if mode == "sharded" else 1,
+                             num_shards=shards,
                              dtype=dtype, quantize=args.quantize)
         cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode=mode)
         scheduler.meta_fn = cache.local_color_meta
@@ -525,7 +534,8 @@ def main(argv=None):
             labels = put(hb.labels)
             ok = eval_slot(params, dblocks, x, labels)  # [n_dev*n_hosts, B]
             n_real = min(gb, n_test - it * gb)
-            valid = (np.arange(gb) < n_real).reshape(n_hosts * n_dev, B)
+            valid = eval_distributor.valid_mask(it).reshape(
+                n_hosts * n_dev, B)
             idxs, rows = read_local_shards(ok)
             local_c = sum(int((np.asarray(rows[i]) & valid[g]).sum())
                           for i, g in enumerate(idxs))

@@ -85,6 +85,9 @@ def main():
     elif mode == "cache":
         run_cache(mesh, n_dev, local, host_id)
 
+    elif mode == "nodelocal":
+        run_node_local(mesh, n_dev, local, host_id)
+
     elif mode in ("resident", "residenttopo"):
         # The flagship multi-chip pipeline across real processes
         # (VERDICT r2 next #3): staged fused windows + presample bitmap
@@ -252,6 +255,63 @@ def run_cache(mesh, n_dev, local, host_id):
               for i, g in enumerate(idxs2))
     s2 = cache.stats()
     print(f"CACHEOK2 {int(ok2)} {s2['hits']} {s2['misses']}", flush=True)
+
+
+def run_node_local(mesh, n_dev, local, host_id):
+    """node_local hierarchical cache across REAL processes: the exchange is
+    scoped to each process's (host's) devices via axis_index_groups — the
+    reference's NVSHMEM-world-per-node topology (nvshmem_manager.cuh:15-28).
+    Checks: (1) rows fetched by host 0 are resident for host 0's whole
+    group but MISS on host 1 (features never cross hosts); (2) every output
+    row is exact everywhere (host-tier fallback); (3) hit/miss accounting
+    is identical when the same global mesh runs as one process."""
+    from coala_gnn_tpu.cache import feature_cache as fc
+    from coala_gnn_tpu.cache.host_tier import HostFeatureStore
+    from coala_gnn_tpu.parallel.multihost import read_local_shards
+    from coala_gnn_tpu.parallel.sharded_cache import ShardedFeatureCache
+
+    N, DIM, B = 512, 8, 16
+    n_groups = 2
+    L = n_dev // n_groups
+    rng = np.random.default_rng(13)
+    feats = rng.standard_normal((N, DIM)).astype(np.float32)
+    store = HostFeatureStore(feats)
+    cfg = fc.CacheConfig(num_sets=8, ways=fc.WAYS, dim=DIM,
+                         cache_dim=fc.round_cache_dim(DIM), num_colors=0,
+                         num_shards=L)
+    cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="node_local",
+                                group_size=L)
+
+    # Round 1: only GROUP 0's devices request rows 100..100+B.
+    want = np.arange(100, 100 + B, dtype=np.int32)
+    ids_global = np.zeros((n_dev, B), np.int32)
+    nv_global = np.zeros(n_dev, np.int32)
+    ids_global[:L] = want
+    nv_global[:L] = B
+    ids = ids_global[cache.local_positions]
+    nv = nv_global[cache.local_positions]
+    cache.fetch(ids, nv, store.fetch)
+    cache.stats()
+
+    # Round 2: EVERY device requests the same rows (no fill): group 0 all
+    # hit, group 1 all miss.
+    ids2 = np.tile(want, (cache.n_local, 1))
+    nv2 = np.full(cache.n_local, B, np.int32)
+    out = cache.fetch(ids2, nv2, store.fetch, fill=False)
+    idxs, rows = read_local_shards(out)
+    ok = all(np.allclose(np.asarray(rows[i])[:, :DIM], feats[want],
+                         atol=1e-6) for i, _ in enumerate(idxs))
+    s = cache.stats()
+    # stats are per-process sums -> allgather for the global picture
+    import jax
+    h, m = s["hits"], s["misses"]
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        hm = multihost_utils.process_allgather(
+            np.asarray([h, m], np.int64)).reshape(-1, 2).sum(axis=0)
+        h, m = int(hm[0]), int(hm[1])
+    print(f"NLOK {int(ok)}", flush=True)
+    print(f"NLSTATS {h} {m} {L}", flush=True)
 
 
 def run_train(mesh, n_dev, local, host_id):

@@ -392,3 +392,16 @@ def test_rr_parity_without_priorities(rng):
                                   np.asarray(b.base.tags))
     np.testing.assert_array_equal(np.asarray(a.base.rr),
                                   np.asarray(b.base.rr))
+
+
+def test_prios_without_track_prio_raises(rng):
+    """ADVICE r3: passing prios to a state built without track_prio=True
+    must fail loudly, not silently fall back to round-robin."""
+    import pytest
+    cfg = small_cfg(num_sets=2)
+    ids = jnp.asarray(np.arange(4, dtype=np.int32))
+    feats = jnp.asarray(rng.normal(size=(4, cfg.dim)).astype(np.float32))
+    with pytest.raises(ValueError, match="track_prio"):
+        fc.insert_with_colors(cfg, fc.init_colored_state(cfg), ids, feats,
+                              jnp.ones(4, bool), jnp.zeros(4, jnp.int32),
+                              prios=jnp.ones(4, jnp.float32))

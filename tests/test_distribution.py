@@ -154,3 +154,44 @@ def test_drop_tail_false_tiny_dataset_wraps():
     parts = d.distribute(0)
     assert parts.shape == (1, 8)
     assert set(parts.reshape(-1).tolist()) == set(range(5))
+
+
+def test_valid_mask_marks_wrapped_slots():
+    """valid_mask(it) flags exactly the real (non-wrap-padded) slots, in
+    distribute()'s [num_parts, domain_batch] layout (ADVICE r3: eval tail
+    masks must come from the distributor, not a caller-side arange)."""
+    from coala_gnn_tpu.distribution import SeedDistributor
+
+    ids = np.arange(1000, 1103)           # 103 seeds, global_batch = 16
+    d = SeedDistributor(ids, batch_size=4, local_size=2, num_parts=2,
+                        shuffle_seed=0, drop_tail=False)
+    total_valid = 0
+    for it in range(d.num_iters):
+        m = d.valid_mask(it)
+        assert m.shape == (2, 8)
+        total_valid += int(m.sum())
+        if it < d.num_iters - 1:
+            assert m.all()
+        else:
+            # baseline striping preserves window order: the valid slots of
+            # the final window are exactly its leading 103 % 16 positions
+            assert int(m.sum()) == 103 % 16
+            parts = d.distribute(it)
+            real = parts.reshape(-1)[m.reshape(-1)]
+            assert len(set(real.tolist())) == len(real)  # no duplicates
+    assert total_valid == len(ids)
+
+
+def test_valid_mask_refuses_reordering_mode(colored):
+    """Positional tail masks are unsound under node_color reordering —
+    valid_mask must refuse rather than miscount."""
+    import pytest
+    from coala_gnn_tpu.distribution import SeedDistributor
+
+    _, meta = colored
+    d = SeedDistributor(np.arange(64), batch_size=4, local_size=2,
+                        num_parts=2, mode="node_color", color=meta.color,
+                        topk_colors=meta.topk, affinity=meta.score,
+                        shuffle_seed=0, drop_tail=False)
+    with pytest.raises(ValueError):
+        d.valid_mask(0)

@@ -144,3 +144,23 @@ def test_two_process_sharded_cache():
         assert ok2 == "1", out
         assert int(m2) == 0, out    # second pass: misses were admitted
         assert int(h2) > 0
+
+
+def test_two_process_node_local_cache():
+    """node_local mode across 2 real processes (VERDICT r3 next #1): rows
+    fetched by host 0 serve host 0's whole ICI group but never cross to
+    host 1; outputs stay exact via the host fallback; global hit/miss
+    accounting is process-topology independent."""
+    outs = _spawn("nodelocal")
+    for out in outs:
+        assert _grep(out, "NLOK") == "1", out
+        h, m, L = map(int, _grep(out, "NLSTATS").split())
+        assert L == 2
+        assert h == L * 16          # group 0: every slot hits
+        assert m == L * 16          # group 1: every slot misses
+
+    # the same global mesh as ONE process (group_size still 2) must
+    # account identically
+    outs1 = _spawn("nodelocal", n_procs=1, local_devices=4)
+    h1, m1, _ = map(int, _grep(outs1[0], "NLSTATS").split())
+    assert (h1, m1) == (2 * 16, 2 * 16)

@@ -114,3 +114,26 @@ def test_segment_softmax(rng):
                                    / np.exp(scores[m] - scores[m].max()).sum(),
                                    rtol=1e-5)
         np.testing.assert_allclose(out[m].sum(), 1.0, rtol=1e-5)
+
+
+def test_bf16_aggregation_accumulates_in_f32(rng):
+    """ADVICE r3: bf16 features must not chain fanout bf16 adds — both
+    aggregation paths accumulate in f32 and match the f32 result to within
+    a single bf16 rounding of the output."""
+    cap_dst, fanout, dim = 64, 12, 32
+    n_src = cap_dst + cap_dst * fanout
+    x = rng.normal(size=(n_src, dim)).astype(np.float32)
+    adj = (cap_dst + np.arange(fanout, dtype=np.int32)[None, :] * cap_dst
+           + np.arange(cap_dst, dtype=np.int32)[:, None])
+    w = rng.normal(size=(cap_dst, fanout)).astype(np.float32)
+
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    want = np.einsum("nfd,nf->nd",
+                     np.asarray(xb.astype(jnp.float32))[adj], w)
+    for got in (agg_sum(xb, None, jnp.asarray(w)),
+                padded_gather_sum(xb, jnp.asarray(adj), jnp.asarray(w))):
+        assert got.dtype == jnp.bfloat16
+        # one output rounding step of bf16 (~2^-8 relative), NOT the
+        # ~fanout*2^-8 drift a bf16 accumulation chain would show
+        np.testing.assert_allclose(np.asarray(got.astype(jnp.float32)),
+                                   want, rtol=2**-7, atol=2**-7 * 4)

@@ -20,14 +20,19 @@ def store(request):
     return HostFeatureStore(feats)
 
 
+GROUP = 4   # node_local: emulate 2 hosts x 4 devices on the 8-device mesh
+
+
 def make_cache(mode, num_colors=0):
     mesh = make_mesh()
     n_dev = mesh.devices.size
+    shards = {"sharded": n_dev, "isolated": 1,
+              "node_local": min(GROUP, n_dev)}[mode]
     cfg = fc.CacheConfig(num_sets=8, ways=fc.WAYS, dim=DIM,
                          cache_dim=fc.round_cache_dim(DIM),
-                         num_colors=num_colors,
-                         num_shards=n_dev if mode == "sharded" else 1)
-    return ShardedFeatureCache(cfg=cfg, mesh=mesh, mode=mode), mesh
+                         num_colors=num_colors, num_shards=shards)
+    kw = {"group_size": min(GROUP, n_dev)} if mode == "node_local" else {}
+    return ShardedFeatureCache(cfg=cfg, mesh=mesh, mode=mode, **kw), mesh
 
 
 def _request(rng, n_dev, n_req, n_valid):
@@ -38,7 +43,7 @@ def _request(rng, n_dev, n_req, n_valid):
     return ids, num_valid
 
 
-@pytest.mark.parametrize("mode", ["sharded", "isolated"])
+@pytest.mark.parametrize("mode", ["sharded", "isolated", "node_local"])
 def test_fetch_returns_correct_features(store, mode):
     cache, mesh = make_cache(mode)
     n_dev = mesh.devices.size
@@ -52,7 +57,7 @@ def test_fetch_returns_correct_features(store, mode):
         np.testing.assert_array_equal(feats[d, 50:], 0)
 
 
-@pytest.mark.parametrize("mode", ["sharded", "isolated"])
+@pytest.mark.parametrize("mode", ["sharded", "isolated", "node_local"])
 def test_cache_hits_on_refetch(store, mode):
     cache, mesh = make_cache(mode)
     n_dev = mesh.devices.size
@@ -67,8 +72,9 @@ def test_cache_hits_on_refetch(store, mode):
     assert s2["hits"] > 0
     for d in range(n_dev):
         np.testing.assert_allclose(feats[d], store.features[ids[d]], rtol=1e-6)
-    if mode == "sharded":
+    if mode in ("sharded", "node_local"):
         # every request was filled into its owner shard on round 1
+        # (node_local: the owner within the requester's OWN group)
         assert s2["hit_ratio"] == 1.0
 
 
@@ -115,6 +121,56 @@ def test_isolated_cache_is_private(store):
     s = cache.stats()
     assert s["hits"] == 16            # only device 0 hits
     assert s["misses"] == (n_dev - 1) * 16
+
+
+def test_node_local_scopes_residency_to_the_group(store):
+    """node_local parity with the reference's NVSHMEM-world-per-node
+    scoping (nvshmem_manager.cuh:15-28): a row fetched by one group is
+    shared WITHIN that group (any member hits) but never crosses groups —
+    the other group misses and must fill its own copy. Features never
+    move between groups; only this control metadata would cross hosts."""
+    cache, mesh = make_cache("node_local")
+    n_dev = mesh.devices.size
+    if n_dev < 2 * GROUP:
+        pytest.skip("needs 2 groups")
+    ids = np.zeros((n_dev, 16), dtype=np.int32)
+    num_valid = np.zeros(n_dev, dtype=np.int32)
+    # only device 0 (group 0) requests rows 300..315
+    ids[0, :] = np.arange(300, 316)
+    num_valid[0] = 16
+    cache.fetch(ids, num_valid, store.fetch)
+    cache.stats()
+
+    # every device requests the same rows: group-0 members all hit
+    # (intra-group sharing), group-1 members all miss (no cross-group leak)
+    ids2 = np.tile(np.arange(300, 316, dtype=np.int32), (n_dev, 1))
+    nv2 = np.full(n_dev, 16, dtype=np.int32)
+    feats = np.asarray(cache.fetch(ids2, nv2, store.fetch, fill=False))
+    s = cache.stats()
+    assert s["hits"] == GROUP * 16
+    assert s["misses"] == (n_dev - GROUP) * 16
+    for d in range(n_dev):      # host fallback keeps every output exact
+        np.testing.assert_allclose(feats[d], store.features[300:316],
+                                   rtol=1e-6)
+
+
+def test_node_local_prewarm_warms_every_group(store):
+    """prewarm partitions ids within each group: afterwards BOTH groups
+    serve the warm set entirely from their own (ICI) devices."""
+    cache, mesh = make_cache("node_local")
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(9)
+    warm = rng.choice(N_NODES, size=500, replace=False).astype(np.int32)
+    cache.prewarm(warm, store.fetch)
+    ids = np.stack([rng.choice(warm, size=32, replace=False)
+                    for _ in range(n_dev)]).astype(np.int32)
+    nv = np.full(n_dev, 32, np.int32)
+    feats = np.asarray(cache.fetch(ids, nv, store.fetch, fill=False))
+    s = cache.stats()
+    assert s["hit_ratio"] == 1.0
+    for d in range(n_dev):
+        np.testing.assert_allclose(feats[d], store.features[ids[d]],
+                                   rtol=1e-6)
 
 
 def test_pipelined_begin_complete_matches_sync(store):

@@ -393,3 +393,59 @@ def test_sharded_staged_overlap_matches_serial():
         if overlap:
             assert "evict_patch" in rt.timers.totals
     np.testing.assert_array_equal(losses[True], losses[False])
+
+
+def test_sharded_resident_node_local_exact_and_group_scoped():
+    """Resident pipeline over a node_local cache (2 emulated hosts x 4
+    devices): features stay exact, training converges, and the exchange
+    never leaves the group (group-scoped hit accounting: after a prewarm
+    both groups serve the working set at 100% from their own devices)."""
+    ds = synthetic_graph(num_nodes=4000, avg_degree=8, feature_dim=32,
+                         num_classes=8, seed=33)
+    store = HostFeatureStore(ds.features)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if n_dev < 8:
+        pytest.skip("needs 8 virtual devices (2 groups of 4)")
+    L = 4
+    cfg = fc.CacheConfig(num_sets=64, ways=fc.WAYS, dim=32,
+                         cache_dim=fc.round_cache_dim(32), num_colors=0,
+                         num_shards=L)
+    cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="node_local",
+                                group_size=L)
+    model = make_model("sage", hidden=24, num_classes=8, num_layers=2,
+                       dropout=0.0)
+    rt = ShardedResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                                labels=ds.labels, cache=cache, model=model,
+                                tx=optax.adam(1e-2), fanouts=[4, 3],
+                                batch_size=16)
+    cache.prewarm(np.arange(ds.graph.num_nodes, dtype=np.int32), store.fetch)
+    rng = np.random.default_rng(2)
+    params = opt = None
+    key = jax.random.key(7)
+    losses = []
+    cache.stats()
+    import jax.numpy as jnp
+    for i in range(6):
+        grid = _seed_grid(ds, rng, n_dev, 16)
+        key, k1, k2 = jax.random.split(key, 3)
+        h = rt.begin(grid, k1)
+        resolved = rt.resolve(h)
+        # exactness against the host store
+        ids, valid = np.asarray(h[1]), np.asarray(h[2])
+        feats_np = np.asarray(resolved[1])
+        for d in range(n_dev):
+            np.testing.assert_allclose(
+                feats_np[d][valid[d]], ds.features[ids[d][valid[d]]],
+                rtol=1e-5, atol=1e-6)
+        if params is None:
+            blocks0 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]),
+                                   resolved[0])
+            params = model.init(jax.random.key(0), blocks0,
+                                jnp.asarray(np.asarray(resolved[1])[0]))
+            opt = rt.tx.init(params)
+        params, opt, loss, acc = rt.train_step(params, opt, k2, resolved)
+        losses.append(float(loss))
+    s = cache.stats()
+    assert s["hit_ratio"] == 1.0        # every group self-serves after warm
+    assert losses[-1] < losses[0]
