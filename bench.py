@@ -58,7 +58,7 @@ def _self_baseline(config=None):
 def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
                  prewarm_frac=1.0, tag="resident", quantize=None,
                  priorities=None, stage_transport="auto", window=None,
-                 model_dtype=None):
+                 model_dtype=None, model_type="sage", scan_unroll=None):
     """Device-resident mode: topology in HBM, sampling+probe in jit; host
     uploads only seeds (~4 KB/step). prewarm_frac < 1 leaves the cache
     under capacity pressure (the regime COALA exists for): only the
@@ -85,13 +85,17 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
         model_dtype = os.environ.get("BENCH_MODEL_DTYPE", "")
     model_dtype = (jnp.bfloat16 if model_dtype == "bfloat16"
                    else jnp.float32)
-    model = make_model("sage", hidden=hidden, num_classes=ds.num_classes,
+    model = make_model(model_type, hidden=hidden,
+                       num_classes=ds.num_classes,
                        num_layers=len(fanouts), dtype=model_dtype)
+    if scan_unroll is None:
+        scan_unroll = int(os.environ.get("BENCH_SCAN_UNROLL", 4))
     rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
                          labels=ds.labels, cache_cfg=cfg, model=model,
                          tx=optax.adam(1e-3), fanouts=fanouts, batch_size=B,
                          priorities=priorities,
-                         stage_transport=stage_transport)
+                         stage_transport=stage_transport,
+                         scan_unroll=scan_unroll)
     t = time.perf_counter()
     n_warm = min(cfg.capacity, ds.graph.num_nodes)
     if prewarm_frac >= 1.0 and cfg.capacity >= ds.graph.num_nodes:
@@ -168,7 +172,7 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
             + rt.timers.report())
     config = {"batch": B, "fanout": fanouts, "dim": dim,
               "hidden": hidden, "nodes": ds.graph.num_nodes,
-              "cache_mb": cache_mb, "model": "sage", "mode": tag,
+              "cache_mb": cache_mb, "model": model_type, "mode": tag,
               "feature_dtype": "bfloat16" if bf16 else "float32",
               "cache_lines": "int8" if quant else
               ("bfloat16" if bf16 else "float32"),
@@ -490,6 +494,25 @@ def main():
             if int(os.environ.get("BENCH_DIM1024", 1)):
                 res["pressure_dim1024"] = run_dim1024(
                     warmup=min(warmup, 8), steps=min(steps, 32))
+        if int(os.environ.get("BENCH_GRID", 1)):
+            # Reference measurement-grid parity (VERDICT r3 missing #4):
+            # model {sage, gat} x fanout {2-layer, 3-layer "10,5,5"} at the
+            # flagship scale (4GB_script.sh:28-37 sweeps sage/gat x
+            # "5,5"/"10,5,5"). The sage/[10,5] cell is the headline above;
+            # the other cells run shorter (32 steps) to bound bench time.
+            grid = {f"sage_{'x'.join(map(str, fanouts))}":
+                    {"value": res["value"], "unit": res["unit"],
+                     "cache_hit_ratio": res["cache_hit_ratio"]}}
+            for m, fo in (("gat", fanouts), ("sage", [10, 5, 5]),
+                          ("gat", [10, 5, 5])):
+                g = run_resident(ds, B, list(fo), dim, hidden, cache_mb,
+                                 bf16, warmup=8, steps=32,
+                                 tag=f"grid-{m}-{'x'.join(map(str, fo))}",
+                                 model_type=m)
+                grid[f"{m}_{'x'.join(map(str, fo))}"] = {
+                    "value": g["value"], "unit": g["unit"],
+                    "cache_hit_ratio": g["cache_hit_ratio"]}
+            res["grid"] = grid
         if int(os.environ.get("BENCH_HOST", 1)):
             # fresh packed-host-pipeline number every round (VERDICT r2
             # weak #7: the r1 ladder entry went stale against a changed

@@ -172,12 +172,50 @@ def step_traffic(mode: str, n_req: int, n_dev: int, local: int, dim: int,
     }
 
 
+def step_time(step_compute_s: float, traffic: dict, dcn_gbps: float,
+              ici_gbps: float) -> dict:
+    """Serialized per-step time: compute + intra-host (ICI) bytes + cross-
+    host (DCN) bytes at the given link speeds. No overlap credit —
+    conservative (XLA does overlap all_to_alls with independent compute,
+    so real steps land between this bound and pure max())."""
+    intra = (traffic["exchange"]["intra_host"]["total"]
+             + traffic["grad_psum"]["off_device"]
+             - traffic["grad_psum"]["cross_host"])
+    cross = traffic["cross_host_total"]
+    t_ici = intra / (ici_gbps * 1e9)
+    t_dcn = cross / (dcn_gbps * 1e9)
+    return {"t_compute_s": step_compute_s, "t_ici_s": t_ici, "t_dcn_s": t_dcn,
+            "t_step_s": step_compute_s + t_ici + t_dcn}
+
+
+def efficiency_1_to_2_hosts(mode: str, step_compute_s: float, n_req: int,
+                            local: int, dim: int, dcn_gbps: float,
+                            ici_gbps: float, num_colors: int = 0,
+                            param_bytes: int = 0, feat_bytes: int = 4,
+                            int8_response: bool = False) -> dict:
+    """The BASELINE.md >80% target, modeled: per-device throughput at
+    2 hosts vs 1 host with identical per-device work (weak scaling).
+    t(1 host) already pays the full ICI exchange; t(2 hosts) adds whatever
+    the mode sends cross-host. efficiency = t_1host / t_2host."""
+    kw = dict(n_req=n_req, local=local, dim=dim, num_colors=num_colors,
+              param_bytes=param_bytes, feat_bytes=feat_bytes,
+              int8_response=int8_response)
+    t1 = step_time(step_compute_s,
+                   step_traffic(mode, n_dev=local, **kw),
+                   dcn_gbps, ici_gbps)
+    t2 = step_time(step_compute_s,
+                   step_traffic(mode, n_dev=2 * local, **kw),
+                   dcn_gbps, ici_gbps)
+    return {"t_1host": t1, "t_2hosts": t2,
+            "efficiency": t1["t_step_s"] / t2["t_step_s"]}
+
+
 def project_efficiency(step_compute_s: float, cross_bytes: int,
                        intra_bytes: int, dcn_gbps: float,
                        ici_gbps: float) -> dict:
-    """1 -> H host scaling projection: assume perfect DP compute split and
-    serialize-the-slowest-link comms (no overlap credit — conservative).
-    efficiency = t_compute / (t_compute + t_ici + t_dcn)."""
+    """Single-topology serialization fraction (kept for the byte table):
+    efficiency here = compute share of the serialized step, NOT the 1->2
+    host metric — use efficiency_1_to_2_hosts for that."""
     t_ici = intra_bytes / (ici_gbps * 1e9)
     t_dcn = cross_bytes / (dcn_gbps * 1e9)
     t = step_compute_s + t_ici + t_dcn

@@ -149,6 +149,14 @@ class ResidentTrainer:
                                    # 328k vs 540k edges/s serial). The
                                    # serial schedule keeps exactly ONE
                                    # sync per window.
+    scan_unroll: int = 1           # lax.scan unroll for the fused window:
+                                   # a rolled scan is a while loop, so XLA
+                                   # cannot start step i+1's sampling +
+                                   # cache gather (params-independent)
+                                   # under step i's fwd/bwd — unrolling
+                                   # exposes that cross-step overlap and
+                                   # leaves only the params chain serial.
+                                   # Identical math, K/unroll x bigger HLO.
 
     def __post_init__(self):
         self.g = to_device_graph(self.graph)
@@ -292,7 +300,8 @@ class ResidentTrainer:
             keys = jax.random.split(key, seeds_grid.shape[0])
             (params, opt_state), (losses, miss, hits, unres, edges) = \
                 jax.lax.scan(body, (params, opt_state),
-                             (seeds_grid, jax.random.key_data(keys)))
+                             (seeds_grid, jax.random.key_data(keys)),
+                             unroll=self.scan_unroll)
             return params, opt_state, losses, miss, hits, unres, edges
 
         self._window = jax.jit(window)
@@ -341,7 +350,8 @@ class ResidentTrainer:
             keys = jax.random.split(key, seeds_grid.shape[0])
             (params, opt_state), (losses, miss, hits, unres, edges) = \
                 jax.lax.scan(body, (params, opt_state),
-                             (seeds_grid, jax.random.key_data(keys)))
+                             (seeds_grid, jax.random.key_data(keys)),
+                             unroll=self.scan_unroll)
             return params, opt_state, losses, miss, hits, unres, edges
 
         self._window_staged = jax.jit(window_staged)

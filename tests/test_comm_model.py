@@ -91,3 +91,24 @@ def test_projection_monotone_in_bandwidth():
                                    intra_bytes=50_000_000,
                                    dcn_gbps=6.25, ici_gbps=45)
     assert 0 < p_slow["efficiency"] < p_fast["efficiency"] <= 1.0
+
+
+def test_bytes_accounting_flagship_table():
+    """The artifact generator's byte table: node_local must project above
+    the >80% 1->2 host target while flat sharded pays a DCN exchange."""
+    import sys
+    sys.path.insert(0, "examples")
+    import bytes_accounting as ba
+
+    t = ba.flagship_bytes(step_ms=2.18, dcn_gbps=6.25, ici_gbps=45.0)
+    rows = t["topologies"]["2hosts_x_4dev"]
+    nl, sh = rows["node_local"], rows["sharded"]
+    assert nl["exchange_cross_host_bytes"]["total"] == 0
+    assert sh["exchange_cross_host_bytes"]["total"] > 10_000_000  # ~MBs
+    eff = t["efficiency_1_to_2_hosts"]
+    assert eff["node_local_f32_response"]["efficiency"] > 0.80
+    assert eff["node_local_f32_response"]["efficiency"] > \
+        eff["sharded_f32_response"]["efficiency"]
+    # int8 responses shrink the DCN bill, lifting flat-sharded efficiency
+    assert eff["sharded_int8_response"]["efficiency"] > \
+        eff["sharded_f32_response"]["efficiency"]

@@ -161,6 +161,49 @@ def test_direct_tier_features_exact_and_matches_associative(setup):
     np.testing.assert_allclose(l_direct, l_assoc, rtol=1e-5, atol=1e-6)
 
 
+def test_scan_unroll_matches_rolled(setup):
+    """scan_unroll is a pure scheduling knob: unrolled fused windows must
+    reproduce the rolled scan's losses and params exactly (same math, the
+    unroll only exposes cross-step overlap to the XLA scheduler). Covers
+    both the flat-tier window and the staged window (partial prewarm)."""
+    ds, store, _, _ = setup
+    model = make_model("sage", hidden=32, num_classes=8, num_layers=2,
+                       dropout=0.0)
+    rng = np.random.default_rng(23)
+    M, K = 2, 4
+    grids = np.stack([
+        np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                  for _ in range(K)])
+        for _ in range(M)]).astype(np.int32)
+
+    def run(direct, unroll, prewarm_all):
+        cfg = fc.CacheConfig(num_sets=128, ways=fc.WAYS, dim=32,
+                             cache_dim=fc.round_cache_dim(32), num_colors=0)
+        rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                             labels=ds.labels, cache_cfg=cfg, model=model,
+                             tx=optax.adam(1e-2), fanouts=[5, 4],
+                             batch_size=32, direct=direct,
+                             scan_unroll=unroll)
+        if prewarm_all:
+            rt.prewarm(np.arange(ds.graph.num_nodes))
+        else:   # partial prewarm -> staged windows (associative tier)
+            rt.prewarm(np.arange(0, ds.graph.num_nodes, 2))
+        resolved = rt.resolve(rt.begin(grids[0, 0], jax.random.key(0)))
+        params = model.init(jax.random.key(0), resolved[0], resolved[1])
+        opt = rt.tx.init(params)
+        p, o, losses, _ = rt.train_windows(params, opt, grids,
+                                           jax.random.key(31))
+        return np.asarray(losses), p
+
+    for direct, prewarm_all in ((True, True), (False, False)):
+        l1, p1 = run(direct, 1, prewarm_all)
+        l4, p4 = run(direct, 4, prewarm_all)
+        np.testing.assert_allclose(l1, l4, rtol=1e-6,
+                                   err_msg=f"direct={direct}")
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), p1, p4)
+
+
 def test_train_windows_pipelined_matches_sequential(setup):
     """train_windows (deferred miss checks) must produce exactly the same
     losses as the equivalent sequence of train_window calls."""
