@@ -29,7 +29,10 @@ from coala_gnn_tpu.sampling.neighbor import NeighborSampler, SampledBatch
 
 class HostBatch(NamedTuple):
     """Device-stacked host-side batch (NumPy; leading axis = local device)."""
-    adjs: List[np.ndarray]     # per layer: int32 [n_dev, cap_dst, fanout]
+    adjs: Optional[List[np.ndarray]]  # per layer: int32 [n_dev, cap_dst,
+                               # fanout]; None = contiguous slot-major layout
+                               # (adjacency implicit, see sampling/neighbor
+                               # ._sample_contiguous)
     masks: List[np.ndarray]    # per layer: float32 [n_dev, cap_dst, fanout]
     input_ids: np.ndarray      # int64 [n_dev, cap_src0]
     num_input: np.ndarray      # int32 [n_dev]
@@ -64,8 +67,13 @@ class CoalaDataLoader:
             per_dev.append(self.sampler.sample(seeds))
 
         n_layers = len(per_dev[0].blocks)
-        adjs = [np.stack([b.blocks[l].adj for b in per_dev])
-                for l in range(n_layers)]
+        # contiguous slot-major sampler: adjacency is implicit (adj=None) —
+        # HostBatch.adjs is None and consumers pack only ids+labels
+        # (data/packing.pack_request_contig).
+        contig = per_dev[0].blocks[0].adj is None
+        adjs = None if contig else [
+            np.stack([b.blocks[l].adj for b in per_dev])
+            for l in range(n_layers)]
         masks = [np.stack([b.blocks[l].mask for b in per_dev])
                  for l in range(n_layers)]
         rels = None

@@ -92,3 +92,45 @@ def unpack_request_ids(buf: jax.Array, n_req: int
 def unpack_request_batch(buf: jax.Array, n_req: int, layout: Layout,
                          batch_size: int) -> Tuple[List[DeviceBlock], jax.Array]:
     return unpack_batch(buf, layout, batch_size, offset=1 + n_req)
+
+
+# ---- contiguous (slot-major) request packing: [n_valid | ids | labels] ----
+# Under the dedup-free layout (sampling/neighbor._sample_contiguous /
+# sampling/device_sampler dedup=False) the adjacency is pure structure —
+# slot (i, k) of layer l lives at row cap_dst_l + k*cap_dst_l + i of the id
+# vector, and invalid slots hold the sentinel id num_nodes — so masks are
+# derivable ON DEVICE from the ids alone. The wire format drops the
+# explicit adjacency entirely: ~2x fewer bytes per step on the
+# link-bound host pipeline.
+
+def request_size_contig(n_req: int, batch_size: int) -> int:
+    return 1 + n_req + batch_size
+
+
+def pack_request_contig(input_ids: np.ndarray, num_input: int,
+                        labels: np.ndarray) -> np.ndarray:
+    """[num_input | ids (slot-major cat, sentinel-marked) | labels]."""
+    n_req = input_ids.shape[0]
+    out = np.empty(1 + n_req + labels.shape[0], dtype=np.int32)
+    out[0] = num_input
+    out[1:1 + n_req] = input_ids
+    out[1 + n_req:] = labels
+    return out
+
+
+def unpack_request_contig(buf: jax.Array, n_req: int, layout: Layout,
+                          batch_size: int, sentinel: int
+                          ) -> Tuple[List[DeviceBlock], jax.Array]:
+    """Device side (inside jit): [n_valid | ids | labels] -> (blocks, labels).
+
+    Layer l's mask is a reshape of its slot segment of the id vector
+    compared against the sentinel — no gather, no extra transfer. Blocks
+    carry adj=None (the contiguous fast path of ops/aggregate)."""
+    ids = jax.lax.dynamic_slice_in_dim(buf, 1, n_req)
+    blocks = []
+    for cap_dst, fanout in layout:
+        seg = jax.lax.dynamic_slice_in_dim(ids, cap_dst, cap_dst * fanout)
+        mask = (seg.reshape(fanout, cap_dst).T != sentinel).astype(jnp.float32)
+        blocks.append(DeviceBlock(adj=None, mask=mask))
+    labels = jax.lax.dynamic_slice_in_dim(buf, 1 + n_req, batch_size)
+    return blocks, labels

@@ -46,8 +46,10 @@ class DeviceBlock(NamedTuple):
 
 
 def blocks_to_device(blocks: Sequence[Any]) -> List[DeviceBlock]:
-    """Host Block list -> DeviceBlock pytree list (jnp arrays)."""
-    return [DeviceBlock(adj=jnp.asarray(b.adj), mask=jnp.asarray(b.mask))
+    """Host Block list -> DeviceBlock pytree list (jnp arrays).
+    adj=None (contiguous slot-major layout) passes through."""
+    return [DeviceBlock(adj=None if b.adj is None else jnp.asarray(b.adj),
+                        mask=jnp.asarray(b.mask))
             for b in blocks]
 
 

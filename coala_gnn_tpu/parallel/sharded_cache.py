@@ -249,12 +249,19 @@ def exchange_probe(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
 def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
                            packed_n_req: int, groups,
                            state: ShardedCacheState, ids: jax.Array,
-                           num_valid: jax.Array):
+                           num_valid: jax.Array, sentinel: int = 0):
     """shard_map body wrapping exchange_lookup for the standalone fetch path.
 
     With packed_n_req > 0, ``ids`` is a full request buffer
     [1 + n_req + ...] whose prefix holds [num_input | input_ids] (see
     data/packing.pack_request) and ``num_valid`` is ignored.
+
+    sentinel > 0 switches the validity convention from valid-prefix to
+    sentinel-marking: entries equal to ``sentinel`` (== num_nodes, the
+    contiguous-layout convention of sampling/device_sampler) are invalid
+    wherever they appear — the id vector of the contiguous host pipeline
+    (data/packing.pack_request_contig) scatters padding instead of
+    prefixing it.
 
     Returns, besides the per-device outputs, two REPLICATED scalars
     (global total miss count, global per-device max miss count) so every
@@ -268,7 +275,11 @@ def _lookup_exchange_local(cfg: fc.CacheConfig, bucket_cap: int, n_dev: int,
         ids = ids[0]                # [n_req] this device's request list
         num_valid = num_valid[0]
     n_req = ids.shape[0]
-    valid = jnp.arange(n_req) < num_valid
+    if sentinel > 0:
+        valid = ids != sentinel
+        ids = jnp.where(valid, ids, 0)
+    else:
+        valid = jnp.arange(n_req) < num_valid
     local = _to_local(state)
     local, out, out_hit, overflow = exchange_lookup(
         cfg, bucket_cap, n_dev, local, ids, valid, groups=groups)
@@ -405,8 +416,9 @@ class ShardedFeatureCache:
 
     # ---- jitted kernels (built per request-shape) -------------------------
 
-    def _lookup_kernel(self, n_req: int, packed: bool = False):
-        key = ("lookup", n_req, packed)
+    def _lookup_kernel(self, n_req: int, packed: bool = False,
+                       sentinel: int = 0):
+        key = ("lookup", n_req, packed, sentinel)
         if key in self._jit_cache:
             return self._jit_cache[key]
         mesh, cfg, n_dev = self.mesh, self.cfg, self.n_route
@@ -415,7 +427,8 @@ class ShardedFeatureCache:
         state_specs = jax.tree.map(lambda _: P(DATA_AXIS), self.state)
         lookup = shard_map(
             functools.partial(_lookup_exchange_local, cfg, bucket_cap, n_dev,
-                              n_req if packed else 0, self.groups),
+                              n_req if packed else 0, self.groups,
+                              sentinel=sentinel),
             mesh=mesh,
             in_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(state_specs, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
@@ -475,15 +488,19 @@ class ShardedFeatureCache:
         except Exception:
             pass
         return (ids, np.asarray(num_valid, np.int32), dids, feats, hit,
-                overflow, n_miss, m_max)
+                overflow, n_miss, m_max, 0)
 
     def fetch_begin_packed(self, ids_np: np.ndarray, num_valid: np.ndarray,
-                           dbuf: jax.Array, n_req: int):
+                           dbuf: jax.Array, n_req: int, sentinel: int = 0):
         """fetch_begin reading the request from an already-on-device packed
         buffer (data/packing.pack_request): the same transfer that carries
         the batch's blocks carries the probe's ids; only the per-device miss
-        COUNT (4 bytes) streams back in the common all-hit case."""
-        k_lookup = self._lookup_kernel(n_req, packed=True)
+        COUNT (4 bytes) streams back in the common all-hit case.
+
+        sentinel > 0: the buffer uses the contiguous-layout convention
+        (pack_request_contig) — entries equal to ``sentinel`` are invalid
+        wherever they appear, instead of validity being a prefix."""
+        k_lookup = self._lookup_kernel(n_req, packed=True, sentinel=sentinel)
         self.state, feats, hit, overflow, n_miss, m_max = k_lookup(
             self.state, dbuf, self._put(np.zeros(self.n_local, np.int32), 0))
         try:
@@ -492,7 +509,7 @@ class ShardedFeatureCache:
             pass
         return (np.ascontiguousarray(ids_np, np.int32),
                 np.asarray(num_valid, np.int32), None, feats, hit, overflow,
-                n_miss, m_max)
+                n_miss, m_max, sentinel)
 
     def fetch_complete(self, handle, host_fetch,
                        colors: Optional[np.ndarray] = None,
@@ -502,7 +519,8 @@ class ShardedFeatureCache:
         Multi-process coherent: the miss decision and the fill-kernel shape
         come from REPLICATED counters, so every process dispatches the same
         collectives; each process fetches rows for its own devices only."""
-        ids, num_valid, dids, feats, hit, overflow, n_miss, m_max = handle
+        (ids, num_valid, dids, feats, hit, overflow, n_miss, m_max,
+         sentinel) = handle
         n_req = ids.shape[1]
 
         # Fast path: only the replicated miss COUNT crosses device->host.
@@ -513,7 +531,10 @@ class ShardedFeatureCache:
         # Host tier: gather rows the cache couldn't serve (local devices).
         hit_np = self._read_local(hit)
         over_np = self._read_local(overflow)
-        valid_np = np.arange(n_req)[None, :] < num_valid[:, None]
+        if sentinel > 0:
+            valid_np = ids != sentinel
+        else:
+            valid_np = np.arange(n_req)[None, :] < num_valid[:, None]
         need = valid_np & (~hit_np | over_np)
         if dids is None:  # packed-begin path: ship ids only on the miss path
             dids = self._put(ids, 1)

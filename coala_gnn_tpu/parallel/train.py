@@ -121,6 +121,41 @@ def make_request_train_step(model: nn.Module,
     return step
 
 
+def make_contig_train_step(model: nn.Module,
+                           tx: optax.GradientTransformation,
+                           batch_size: int, layout, n_req: int,
+                           sentinel: int) -> Callable:
+    """Train step for the contiguous slot-major wire format
+    (data/packing.pack_request_contig): the request buffer carries ONLY
+    [n_valid | ids | labels] — adjacency is implicit in the layout and
+    masks reconstruct on device from ``ids != sentinel``. Halves the
+    per-step bytes of the link-bound host pipeline vs
+    make_request_train_step."""
+    from coala_gnn_tpu.data.packing import unpack_request_contig
+
+    def loss_fn(params, key, blocks, x, labels):
+        logits = model.apply(params, blocks, x, train=True,
+                             rngs={"dropout": key})
+        logits = logits[:batch_size]
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        return ce.mean(), logits
+
+    @jax.jit
+    def step(params, opt_state, key, buf, x):
+        if buf.ndim == 2:   # [1, L] single-device request grid
+            buf = buf[0]
+        blocks, labels = unpack_request_contig(buf, n_req, layout,
+                                               batch_size, sentinel)
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, key, blocks, x, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        acc = (logits.argmax(-1) == labels).mean()
+        return params, opt_state, loss, acc
+
+    return step
+
+
 def make_sharded_train_step(model: nn.Module,
                             tx: optax.GradientTransformation,
                             mesh, batch_size: int) -> Callable:

@@ -47,14 +47,18 @@ class Block:
                                      padded tail repeats id 0 (never referenced
                                      by a valid adj entry)
     adj     : int32 [cap_dst, fanout] local index into src_ids per slot;
-                                     masked slots point at the dst itself
+                                     masked slots point at the dst itself.
+                                     ``None`` marks the contiguous slot-major
+                                     layout (slot (i,k) at row
+                                     cap_dst + k*cap_dst + i; invalid entries
+                                     of src_ids hold the sentinel num_nodes)
     mask    : float32 [cap_dst, fanout] 1.0 = real sampled edge
     num_dst : int                     valid destination count (<= cap_dst)
     num_src : int                     valid source count (<= cap_src)
     """
 
     src_ids: np.ndarray
-    adj: np.ndarray
+    adj: Optional[np.ndarray]
     mask: np.ndarray
     num_dst: int
     num_src: int
@@ -63,7 +67,7 @@ class Block:
 
     @property
     def cap_dst(self) -> int:
-        return self.adj.shape[0]
+        return self.mask.shape[0]
 
     @property
     def cap_src(self) -> int:
@@ -71,7 +75,7 @@ class Block:
 
     @property
     def fanout(self) -> int:
-        return self.adj.shape[1]
+        return self.mask.shape[1]
 
 
 @dataclasses.dataclass
@@ -143,12 +147,17 @@ class NeighborSampler:
 
     def __init__(self, graph: CSCGraph, fanouts: Sequence[int],
                  batch_size: int, seed: int = 0,
-                 use_native: bool = True):
+                 use_native: bool = True, contiguous: bool = False):
         self.graph = graph
         self.fanouts = list(fanouts)
         self.batch_size = batch_size
         self.caps = block_capacities(batch_size, fanouts)
         self.rng = np.random.default_rng(seed)
+        self.contiguous = contiguous
+        if contiguous and graph.edge_types is not None:
+            raise NotImplementedError(
+                "contiguous host sampling is homogeneous-only (hetero "
+                "blocks need the rel plane; use the default layout)")
         self._native = None
         if use_native:
             try:
@@ -175,6 +184,8 @@ class NeighborSampler:
             raise ValueError(
                 f"got {seeds.shape[0]} seeds, expected batch_size={self.batch_size}"
                 " (tail batches are dropped upstream, matching the reference)")
+        if self.contiguous:
+            return self._sample_contiguous(seeds)
         blocks: List[Block] = []
         dst_ids = seeds
         for layer in range(len(self.fanouts) - 1, -1, -1):
@@ -186,6 +197,38 @@ class NeighborSampler:
             dst_ids = blocks[0].src_ids[: blocks[0].num_src]
         b0 = blocks[0]
         return SampledBatch(blocks=blocks, seeds=seeds,
+                            input_ids=b0.src_ids, num_input=b0.num_src)
+
+    def _sample_contiguous(self, seeds: np.ndarray) -> SampledBatch:
+        """Dedup-free slot-major layout, mirroring the device sampler's
+        ``dedup=False`` path (sampling/device_sampler.py): layer l's input
+        row array is ``cat = [dst | nbr.T.flat]`` so slot (i, k) lives at
+        row ``cap_dst + k*cap_dst + i`` — a *static* position. Blocks carry
+        ``adj=None`` (ops/aggregate dispatches to the streaming
+        plane-FMA path) and INVALID slots hold the sentinel id
+        ``num_nodes`` instead of pointing at the dst, so masks are
+        derivable from the id vector alone: the whole batch crosses the
+        host->device link as ``[n_valid | ids | labels]``
+        (data/packing.pack_request_contig), ~2x fewer bytes than the
+        dedup layout's explicit adjacency."""
+        sent = self.graph.num_nodes
+        dst = np.asarray(seeds, dtype=np.int64)
+        blocks: List[Block] = []
+        for layer in range(len(self.fanouts) - 1, -1, -1):
+            fanout = self.fanouts[layer]
+            cap_dst, cap_src = self.caps[layer]
+            assert dst.shape[0] == cap_dst, "contiguous layer-size invariant"
+            vdst = dst != sent
+            nbr, mask, _ = self._sample_layer(np.where(vdst, dst, 0), fanout)
+            mask = np.asarray(mask, np.float32) * vdst[:, None]
+            nbr = np.where(mask > 0, nbr, sent)
+            cat = np.concatenate([dst, nbr.T.reshape(-1)])
+            blocks.insert(0, Block(
+                src_ids=cat, adj=None, mask=mask,
+                num_dst=int(vdst.sum()), num_src=int((cat != sent).sum())))
+            dst = cat
+        b0 = blocks[0]
+        return SampledBatch(blocks=blocks, seeds=np.asarray(seeds, np.int64),
                             input_ids=b0.src_ids, num_input=b0.num_src)
 
 
