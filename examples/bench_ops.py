@@ -74,6 +74,13 @@ def main():
     p.add_argument("--json", type=str, default="",
                    help="write results to this JSON file (the roofline "
                         "artifact BENCH_OPS_r{N}.json, VERDICT r2 next #2)")
+    p.add_argument("--cache_gather", action="store_true",
+                   help="run the cache-gather-bound experiment (per-step "
+                        "vs window-restage vs int8/bf16 lines at flagship "
+                        "shapes, VERDICT r3 next #2)")
+    p.add_argument("--table_rows", type=int, default=200_000)
+    p.add_argument("--window", type=int, default=8)
+    p.add_argument("--n_req", type=int, default=67584)
     args = p.parse_args()
     if args.platform:
         import jax
@@ -196,6 +203,77 @@ def main():
     mm = jax.jit(lambda a: a @ a)
     dt = timeit(mm, a)
     record("bf16 4096^3 matmul", dt, flops=2 * 4096**3)
+
+    # ---- cache-gather-bound experiment (VERDICT r3 next #2) ------------
+    # The flagship step is bound by the flat-tier row gather (67.5k x 1 KB
+    # random rows from a 205 MB table, DESIGN.md §2). Candidate fixes
+    # measured head-to-head at the flagship shapes:
+    #   per_step   — K independent gathers from the big table (status quo)
+    #   restage    — gather the window's UNIQUE rows once into a dense
+    #                [U, D] buffer, then K gathers from the (smaller)
+    #                stage (the staged-window position map makes the
+    #                positions free in the real trainer)
+    #   int8/bf16  — narrower lines: 4x/2x fewer gathered bytes (int8
+    #                includes the dequant multiply, the production path
+    #                of the quantized tier)
+    if args.cache_gather:
+        Ntab = args.table_rows
+        K = args.window
+        nreq = args.n_req
+        tab32 = jnp.asarray(rng.normal(size=(Ntab, D)).astype(np.float32))
+        tab16 = tab32.astype(jnp.bfloat16)
+        tab8 = jnp.asarray(
+            rng.integers(-127, 128, size=(Ntab, D)).astype(np.int8))
+        scale = jnp.asarray(rng.random(Ntab).astype(np.float32) + 0.5)
+        cats = np.asarray(
+            rng.integers(0, Ntab, size=(K, nreq)).astype(np.int32))
+        uniq, inv = np.unique(cats.reshape(-1), return_inverse=True)
+        U = uniq.shape[0]
+        pos = jnp.asarray(inv.reshape(K, nreq).astype(np.int32))
+        cats_d = jnp.asarray(cats)
+        uniq_d = jnp.asarray(uniq.astype(np.int32))
+        print(f"cache-gather: table {Ntab}x{D}, window K={K}, "
+              f"n_req {nreq}, unique/window {U} "
+              f"({U / (K * nreq):.2f}x dedup)")
+
+        def per_step(tab, cats):
+            def body(k, acc):
+                x = tab[jax.lax.dynamic_index_in_dim(cats, k, keepdims=False)]
+                return acc + x.sum(0, dtype=jnp.float32)
+            return jax.lax.fori_loop(0, K, body, jnp.zeros(D, jnp.float32))
+
+        def restage(tab, uniq_ids, pos):
+            stage = tab[uniq_ids]                       # one [U, D] gather
+            def body(k, acc):
+                x = stage[jax.lax.dynamic_index_in_dim(pos, k,
+                                                       keepdims=False)]
+                return acc + x.sum(0, dtype=jnp.float32)
+            return jax.lax.fori_loop(0, K, body, jnp.zeros(D, jnp.float32))
+
+        def per_step_i8(tab, scl, cats):
+            def body(k, acc):
+                ids = jax.lax.dynamic_index_in_dim(cats, k, keepdims=False)
+                x = tab[ids].astype(jnp.float32) * scl[ids][:, None]
+                return acc + x.sum(0, dtype=jnp.float32)
+            return jax.lax.fori_loop(0, K, body, jnp.zeros(D, jnp.float32))
+
+        per_window_rows = K * nreq
+        for name, fn, fargs, bpp in [
+            ("cache gather/step f32", jax.jit(per_step), (tab32, cats_d), 4),
+            ("cache gather/step bf16", jax.jit(per_step), (tab16, cats_d), 2),
+            ("cache gather/step int8+deq", jax.jit(per_step_i8),
+             (tab8, scale, cats_d), 1),
+            ("cache restage window f32", jax.jit(restage),
+             (tab32, uniq_d, pos), 4),
+            ("cache restage window bf16", jax.jit(restage),
+             (tab16, uniq_d, pos), 2),
+        ]:
+            dt = timeit(fn, *fargs, iters=5)
+            rows = (per_window_rows + (U if "restage" in name else 0))
+            traffic = rows * D * bpp + per_window_rows * D * bpp  # rd+wr
+            row_ms = dt / K
+            record(f"{name} (K={K})", dt, traffic)
+            RESULTS[-1]["ms_per_step"] = round(row_ms * 1e3, 3)
 
     if args.json:
         out = {"backend": jax.default_backend(),
