@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Flagship headline tuning grid (VERDICT r3 next #2: >35M edges/s).
+
+Runs the full-coverage resident pipeline at the flagship config across the
+candidate headline configurations on one chip and persists every row:
+
+  - f32 lines (baseline-parity headline), scan_unroll in {1, 4, 8}
+  - bf16 features + bf16 model compute
+  - int8 lines (+ per-line scale) x {f32, bf16} model compute
+  - int8 lines + bf16 model + scan_unroll 8
+
+The step is cache-gather-bound (DESIGN.md §2: 67.5k x 1 KB random rows =
+2.6 ms of the 2.3 ms pipelined step); narrower lines cut the gathered
+bytes 2-4x and scan_unroll lets XLA overlap step i+1's gather under step
+i's fwd/bwd. Exactness of every variant vs the unfused trainer is pinned
+by tests (test_resident.py, test_training_parity.py).
+
+  python examples/flagship_tune.py --out FLAGSHIP_TUNE_r04.json
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--nodes", type=int, default=200_000)
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--fanout", default="10,5")
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--cache_mb", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=128)
+    p.add_argument("--warmup", type=int, default=16)
+    p.add_argument("--out", default="")
+    p.add_argument("--platform", default="")
+    args = p.parse_args(argv)
+
+    from coala_gnn_tpu.utils.jaxconfig import setup as jax_setup
+    jax_setup(args.platform)
+    import bench
+    from coala_gnn_tpu.graph.datasets import synthetic_graph
+
+    fanouts = [int(f) for f in args.fanout.split(",")]
+    ds = synthetic_graph(num_nodes=args.nodes, avg_degree=15,
+                         feature_dim=args.dim, num_classes=16, seed=0)
+
+    # (tag, bf16 features, quantize lines, model_dtype, scan_unroll)
+    grid = [
+        ("f32_unroll1", False, False, "float32", 1),
+        ("f32_unroll4", False, False, "float32", 4),
+        ("f32_unroll8", False, False, "float32", 8),
+        ("bf16_unroll4", True, False, "bfloat16", 4),
+        ("int8_f32model_unroll4", False, True, "float32", 4),
+        ("int8_bf16model_unroll4", False, True, "bfloat16", 4),
+        ("int8_bf16model_unroll8", False, True, "bfloat16", 8),
+    ]
+    rows = {}
+    for tag, bf16, quant, mdt, unroll in grid:
+        r = bench.run_resident(ds, args.batch, fanouts, args.dim,
+                               args.hidden, args.cache_mb, bf16,
+                               args.warmup, args.steps, tag=f"tune-{tag}",
+                               quantize=quant, model_dtype=mdt,
+                               scan_unroll=unroll)
+        rows[tag] = {"value": r["value"], "unit": r["unit"],
+                     "cache_hit_ratio": r["cache_hit_ratio"],
+                     "config": {"bf16_features": bf16, "int8_lines": quant,
+                                "model_dtype": mdt, "scan_unroll": unroll}}
+        print(f"tune {tag}: {r['value']:,.0f} edges/s", file=sys.stderr,
+              flush=True)
+
+    best = max(rows, key=lambda k: rows[k]["value"])
+    art = {"config": {"nodes": args.nodes, "dim": args.dim,
+                      "batch": args.batch, "fanout": fanouts,
+                      "cache_mb": args.cache_mb, "steps": args.steps},
+           "rows": rows, "best": best,
+           "best_edges_per_s": rows[best]["value"]}
+    txt = json.dumps(art, indent=1)
+    print(txt)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(txt)
+    return art
+
+
+if __name__ == "__main__":
+    main()

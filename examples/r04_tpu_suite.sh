@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-4 TPU measurement suite. Run ONCE when the tunneled chip is
+# reachable (it was down for most of the round) — stages run strictly
+# serially (one TPU client at a time; see .claude/skills/verify).
+#
+#   bash examples/r04_tpu_suite.sh            # artifacts in repo root
+#
+# Stages (each under its own timeout; a hung stage is killed and the
+# suite continues):
+#   1. probe          — abort early if the chip is unreachable
+#   2. bench_ops      — roofline + the cache-gather experiment
+#                       (per-step vs restage vs int8/bf16 lines)
+#   3. flagship_tune  — headline grid (f32/bf16/int8 x scan_unroll)
+#   4. host_pipe_ab   — packed vs contiguous wire format
+#   5. pressure_sweep — >=3 repeats per budget with spread
+cd "$(dirname "$0")/.." || exit 1
+LOG=r04_suite.log
+: > "$LOG"
+
+stage() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name start $(date +%H:%M:%S) ===" | tee -a "$LOG"
+  timeout "$tmo" "$@" >> "$LOG" 2>&1
+  local rc=$?
+  echo "=== $name exit=$rc $(date +%H:%M:%S) ===" | tee -a "$LOG"
+  return $rc
+}
+
+stage probe 300 python -c "import jax; print(jax.devices())" || {
+  echo "TPU unreachable — suite aborted" | tee -a "$LOG"; exit 2; }
+
+stage bench_ops 2400 python examples/bench_ops.py --cache_gather \
+  --json BENCH_OPS_r04.json
+stage flagship_tune 4800 python examples/flagship_tune.py \
+  --out FLAGSHIP_TUNE_r04.json
+stage host_pipe_ab 3600 python examples/host_pipe_ab.py \
+  --out HOST_PIPE_r04.json
+stage pressure_sweep 7200 python examples/pressure_sweep.py \
+  --out PRESSURE_SWEEP_r04.json
+
+echo "suite done $(date +%H:%M:%S)" | tee -a "$LOG"
+ls -la BENCH_OPS_r04.json FLAGSHIP_TUNE_r04.json HOST_PIPE_r04.json \
+  PRESSURE_SWEEP_r04.json 2>&1 | tee -a "$LOG"
