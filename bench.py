@@ -316,9 +316,12 @@ def run_host(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
         if params is None:
             log(f"bench[{tag}]: first batch ready (sampled "
                 f"{hb.sampled_nodes} nodes); initializing + compiling...")
-            blocks0 = [DeviceBlock(adj=(None if contiguous else
-                                        jnp.asarray(hb.adjs[l][0])),
-                                   mask=jnp.asarray(hb.masks[l][0]))
+            # contiguous HostBatch carries no masks (wire never ships
+            # them); init only needs the shape, values are irrelevant
+            blocks0 = [DeviceBlock(
+                adj=None if contiguous else jnp.asarray(hb.adjs[l][0]),
+                mask=(jnp.zeros((sampler.caps[l][0], fanouts[l]), jnp.float32)
+                      if contiguous else jnp.asarray(hb.masks[l][0])))
                        for l in range(len(fanouts))]
             params = model.init(jax.random.key(1), blocks0, x)
             opt_state = tx.init(params)
@@ -335,7 +338,7 @@ def run_host(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
             t0 = time.perf_counter()
             edges = 0
         if i >= warmup:
-            edges += sum(int(m[0].sum()) for m in hb.masks)
+            edges += hb.edges        # all-device valid-edge count (local_size=1 here)
             n_done += 1
 
     jax.block_until_ready(loss)

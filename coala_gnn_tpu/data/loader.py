@@ -33,13 +33,19 @@ class HostBatch(NamedTuple):
                                # fanout]; None = contiguous slot-major layout
                                # (adjacency implicit, see sampling/neighbor
                                # ._sample_contiguous)
-    masks: List[np.ndarray]    # per layer: float32 [n_dev, cap_dst, fanout]
+    masks: Optional[List[np.ndarray]]  # per layer: float32 [n_dev, cap_dst,
+                               # fanout]; None in contiguous mode (the wire
+                               # never ships them — masks reconstruct on
+                               # device from sentinel ids, and stacking
+                               # them would be pure prefetch-thread waste)
     input_ids: np.ndarray      # int64 [n_dev, cap_src0]
     num_input: np.ndarray      # int32 [n_dev]
     seeds: np.ndarray          # int64 [n_dev, batch]
     labels: np.ndarray         # int32 [n_dev, batch]
     sampled_nodes: int         # total valid sampled nodes (stats parity)
     rels: Optional[List[np.ndarray]] = None  # per layer int32 (hetero only)
+    edges: int = 0             # total valid sampled edges, all devices +
+                               # layers (bench accounting without masks)
 
 
 @dataclasses.dataclass
@@ -74,8 +80,11 @@ class CoalaDataLoader:
         adjs = None if contig else [
             np.stack([b.blocks[l].adj for b in per_dev])
             for l in range(n_layers)]
-        masks = [np.stack([b.blocks[l].mask for b in per_dev])
-                 for l in range(n_layers)]
+        masks = None if contig else [
+            np.stack([b.blocks[l].mask for b in per_dev])
+            for l in range(n_layers)]
+        edges = int(sum(b.blocks[l].mask.sum()
+                        for b in per_dev for l in range(n_layers)))
         rels = None
         if per_dev[0].blocks[0].rel is not None:
             rels = [np.stack([b.blocks[l].rel for b in per_dev])
@@ -86,7 +95,7 @@ class CoalaDataLoader:
         return HostBatch(
             adjs=adjs, masks=masks, input_ids=input_ids, num_input=num_input,
             seeds=seeds, labels=self.labels[seeds].astype(np.int32),
-            sampled_nodes=int(num_input.sum()), rels=rels)
+            sampled_nodes=int(num_input.sum()), rels=rels, edges=edges)
 
     def __iter__(self) -> Iterator[HostBatch]:
         if self.prefetch <= 0:

@@ -26,6 +26,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+# the model's sizes ARE the kernels' sizes: one shared definition
+# (parallel/sizing.py), no mirrored formulas to drift
+from coala_gnn_tpu.parallel.sizing import (
+    ceil_pow2, fill_bucket_cap, lookup_bucket_cap as bucket_cap)
+
 
 @dataclasses.dataclass(frozen=True)
 class ExchangeShape:
@@ -54,15 +59,13 @@ class ExchangeShape:
 
     @property
     def row_resp_bytes(self) -> int:
-        return (self.dim + 4) if self.int8_response \
+        """Bytes per response slot in the FEATURE all_to_all only. int8
+        responses ship a second [G, c] f32 scale all_to_all, counted as
+        its own phase in exchange_step_bytes — total dim + 4 per slot,
+        matching the wire (sharded_cache.exchange_lookup: resp_q int8
+        [G, c, dim] + resp_sc f32 [G, c], each sent exactly once)."""
+        return self.dim if self.int8_response \
             else self.dim * self.feat_bytes
-
-
-def bucket_cap(n_req: int, group: int, slack: float = 2.0) -> int:
-    """Mirror of ShardedFeatureCache._lookup_kernel's sizing."""
-    if group <= 1:
-        return n_req
-    return min(n_req, int(slack * n_req / group) + 1)
 
 
 def exchange_step_bytes(s: ExchangeShape) -> dict:
@@ -134,7 +137,9 @@ def grad_psum_bytes(param_bytes: int, n_dev: int, local: int) -> dict:
 
 def meta_allgather_bytes(num_colors: int, hosts: int) -> int:
     """Cross-host cache-meta exchange per refresh (process_allgather of
-    int32 [C+1] — Shared_Tensor.py:96-100 parity). Per host."""
+    int32 [C+1] — Shared_Tensor.py:96-100 parity). PER HOST — one process
+    performs it, not one device; divide by local before mixing into
+    per-device totals."""
     if hosts <= 1:
         return 0
     return (num_colors + 1) * 4 * (hosts - 1)
@@ -143,12 +148,18 @@ def meta_allgather_bytes(num_colors: int, hosts: int) -> int:
 def step_traffic(mode: str, n_req: int, n_dev: int, local: int, dim: int,
                  num_colors: int = 0, param_bytes: int = 0,
                  feat_bytes: int = 4, int8_response: bool = False,
-                 refresh_counter: int = 8, slack: float = 2.0) -> dict:
+                 refresh_counter: int = 8, slack: float = 2.0,
+                 misses: int = 0) -> dict:
     """Full per-device per-step traffic picture for a cache mode.
 
     Returns bytes dicts for the steady (all-hit) step: exchange phases +
-    grad psum + amortized cache-meta; fill bytes are reported separately
-    (miss steps only)."""
+    grad psum + amortized cache-meta (host meta bill split across the
+    host's ``local`` devices so every entry stays per-device). Fill bytes
+    are reported separately and only when ``misses`` (per-device miss
+    count for a representative miss step) is given — the fill kernel's
+    buckets are sized from the pow2-rounded miss count, NOT from n_req
+    (sharded_cache.fetch: m_cap = _ceil_pow2(m_max) ->
+    sizing.fill_bucket_cap), so steady warm steps ship zero fill bytes."""
     group = {"sharded": n_dev, "node_local": min(local, n_dev),
              "isolated": 1}[mode]
     s = ExchangeShape(n_req=n_req, bucket_cap=bucket_cap(n_req, group, slack),
@@ -157,13 +168,19 @@ def step_traffic(mode: str, n_req: int, n_dev: int, local: int, dim: int,
     ex = exchange_step_bytes(s)
     ps = grad_psum_bytes(param_bytes, n_dev, local)
     hosts = max(n_dev // local, 1)
-    meta = meta_allgather_bytes(num_colors, hosts) / max(refresh_counter, 1)
-    fill = fill_step_bytes(s, fill_cap=bucket_cap(n_req, group, slack))
+    meta_host = meta_allgather_bytes(num_colors, hosts)
+    meta = meta_host / max(refresh_counter, 1) / max(local, 1)
+    if misses > 0:
+        fill = fill_step_bytes(
+            s, fill_cap=fill_bucket_cap(ceil_pow2(misses), group, slack))
+    else:
+        fill = {"off_device": 0, "cross_host": 0}
     return {
         "mode": mode, "group": group, "bucket_cap": s.bucket_cap,
         "exchange": ex,
         "grad_psum": ps,
-        "meta_per_step": meta,                     # cross-host, amortized
+        "meta_per_step": meta,       # cross-host, amortized, per device
+        "meta_host_per_refresh": meta_host,
         "fill_miss_step": fill,
         "cross_host_total": ex["cross_host"]["total"] + ps["cross_host"]
                             + meta,

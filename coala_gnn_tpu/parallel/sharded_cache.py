@@ -46,6 +46,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from coala_gnn_tpu.cache import feature_cache as fc
+from coala_gnn_tpu.parallel import sizing
 from coala_gnn_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -381,6 +382,21 @@ class ShardedFeatureCache:
             if L < n_dev:
                 self.groups = [[g * L + i for i in range(L)]
                                for g in range(n_dev // L)]
+                # the mode's whole point is that each group's all_to_all
+                # stays on one host's ICI (nvshmem_manager.cuh:15-28
+                # parity) — positionally contiguous blocks only deliver
+                # that if the mesh lays devices out process-contiguous
+                devs = list(self.mesh.devices.flat)
+                for g in self.groups:
+                    procs = {devs[p].process_index for p in g}
+                    if len(procs) > 1:
+                        raise ValueError(
+                            "node_local cache groups must not span hosts: "
+                            f"mesh positions {g} mix processes "
+                            f"{sorted(procs)}. Build the mesh with process-"
+                            "contiguous device order (parallel.mesh."
+                            "make_mesh does) or pass a group_size that "
+                            "divides each host's contiguous block.")
             # L == n_dev degenerates to the flat sharded exchange
         else:
             self.n_route = n_dev
@@ -422,8 +438,7 @@ class ShardedFeatureCache:
         if key in self._jit_cache:
             return self._jit_cache[key]
         mesh, cfg, n_dev = self.mesh, self.cfg, self.n_route
-        bucket_cap = n_req if n_dev == 1 else min(
-            n_req, int(self.bucket_slack * n_req / n_dev) + 1)
+        bucket_cap = sizing.lookup_bucket_cap(n_req, n_dev, self.bucket_slack)
         state_specs = jax.tree.map(lambda _: P(DATA_AXIS), self.state)
         lookup = shard_map(
             functools.partial(_lookup_exchange_local, cfg, bucket_cap, n_dev,
@@ -444,8 +459,7 @@ class ShardedFeatureCache:
             return self._jit_cache[key]
         mesh, cfg, n_dev = self.mesh, self.cfg, self.n_route
         # per-owner fill bucket: misses spread ~uniformly over owners
-        fill_cap = m_cap if n_dev == 1 else min(
-            m_cap, int(self.bucket_slack * m_cap / n_dev) + 128)
+        fill_cap = sizing.fill_bucket_cap(m_cap, n_dev, self.bucket_slack)
         state_specs = jax.tree.map(lambda _: P(DATA_AXIS), self.state)
         fill = shard_map(
             functools.partial(_fill_local, cfg, fill_cap, n_dev, self.groups),
@@ -782,4 +796,4 @@ class ShardedFeatureCache:
 
 
 def _ceil_pow2(x: int) -> int:
-    return 1 << max(int(x) - 1, 0).bit_length() if x > 1 else 1
+    return sizing.ceil_pow2(int(x))

@@ -116,8 +116,8 @@ class ShardedResidentTrainer:
         self.caps = block_capacities(B, fanouts)
         n_req = self.caps[0][1]
         self.n_req = n_req
-        bucket_cap = n_req if n_route == 1 else min(
-            n_req, int(self.cache.bucket_slack * n_req / n_route) + 1)
+        from coala_gnn_tpu.parallel.sizing import lookup_bucket_cap
+        bucket_cap = lookup_bucket_cap(n_req, n_route, self.cache.bucket_slack)
 
         def body_a(g, labels_dev, state, seeds, key):
             seeds = seeds[0]                       # [B] this device's slice

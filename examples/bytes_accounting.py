@@ -52,16 +52,21 @@ def flagship_bytes(step_ms: float, dcn_gbps: float, ici_gbps: float):
     for (n_dev, local) in ((4, 4), (8, 4), (16, 4)):
         hosts = n_dev // local
         rows = {}
+        # representative miss step: 5% of request slots miss (fill buckets
+        # size from the pow2 miss count, NOT n_req — warm steps ship zero)
+        miss_rep = max(int(0.05 * n_req), 1)
         for mode in ("sharded", "node_local", "isolated"):
             t = cm.step_traffic(mode, n_req=n_req, n_dev=n_dev, local=local,
                                 dim=dim, num_colors=2000,
-                                param_bytes=param_bytes)
+                                param_bytes=param_bytes, misses=miss_rep)
             ts = cm.step_time(step_ms / 1e3, t, dcn_gbps, ici_gbps)
             rows[mode] = {
                 "exchange_off_device_bytes": t["exchange"]["off_device"],
                 "exchange_cross_host_bytes": t["exchange"]["cross_host"],
                 "grad_psum_bytes": t["grad_psum"],
-                "meta_cross_host_bytes_per_step": round(t["meta_per_step"], 1),
+                "meta_cross_host_bytes_per_step_per_device":
+                    round(t["meta_per_step"], 1),
+                "fill_bytes_at_5pct_miss_step": t["fill_miss_step"],
                 "cross_host_total_bytes": int(t["cross_host_total"]),
                 "serialized_step": {k: round(v, 6) for k, v in ts.items()},
             }

@@ -14,19 +14,51 @@ from coala_gnn_tpu.parallel.mesh import make_mesh
 from coala_gnn_tpu.parallel.sharded_cache import ShardedFeatureCache
 
 
-def test_bucket_cap_matches_cache_kernel_sizing():
-    """The model's bucket_cap must be the cache's actual compiled shape."""
+def test_bucket_cap_is_the_kernel_sizing():
+    """The model's sizes must BE the kernels' sizes — enforced structurally:
+    both import the same parallel/sizing helpers (no mirrored formulas to
+    drift), and the kernels build without error from them."""
+    from coala_gnn_tpu.parallel import sizing
+    assert cm.bucket_cap is sizing.lookup_bucket_cap
+    assert cm.fill_bucket_cap is sizing.fill_bucket_cap
+    assert cm.ceil_pow2 is sizing.ceil_pow2
+
     mesh = make_mesh()
     n_dev = mesh.devices.size
     cfg = fc.CacheConfig(num_sets=8, ways=fc.WAYS, dim=16,
                          cache_dim=128, num_colors=0, num_shards=n_dev)
     cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="sharded")
-    n_req = 96
-    cache._lookup_kernel(n_req)   # builds with its internal bucket_cap
-    want = cm.bucket_cap(n_req, cache.n_route, cache.bucket_slack)
-    got = n_req if cache.n_route == 1 else min(
-        n_req, int(cache.bucket_slack * n_req / cache.n_route) + 1)
-    assert want == got
+    cache._lookup_kernel(96)      # compiles with sizing.lookup_bucket_cap
+    cache._miss_kernels(96, 64)   # compiles with sizing.fill_bucket_cap
+
+
+def test_fill_bytes_sized_from_miss_count_not_n_req():
+    """Fill buckets follow the pow2-rounded MISS count (sharded_cache.fetch:
+    m_cap = _ceil_pow2(m_max)), not the request capacity; warm steps ship
+    zero fill bytes."""
+    kw = dict(n_req=7680, n_dev=8, local=4, dim=256)
+    warm = cm.step_traffic("sharded", **kw)
+    assert warm["fill_miss_step"] == {"off_device": 0, "cross_host": 0}
+
+    t = cm.step_traffic("sharded", misses=512, **kw)
+    fill_cap = cm.fill_bucket_cap(cm.ceil_pow2(512), 8)  # = min(512, 256)
+    assert fill_cap == 256
+    per_peer = fill_cap * (4 + 256 * 4 + 4)     # ids + f32 row + color
+    assert t["fill_miss_step"]["off_device"] == 7 * per_peer
+    assert t["fill_miss_step"]["cross_host"] == 4 * per_peer
+
+
+def test_meta_bytes_are_per_device():
+    """meta_allgather_bytes is a per-HOST bill; step_traffic's per-device
+    totals must carry only this device's share of it."""
+    kw = dict(n_req=7680, n_dev=8, local=4, dim=256, num_colors=2000,
+              refresh_counter=8)
+    t = cm.step_traffic("node_local", **kw)
+    host_bill = cm.meta_allgather_bytes(2000, 2)
+    assert t["meta_host_per_refresh"] == host_bill
+    assert t["meta_per_step"] == pytest.approx(host_bill / 8 / 4)
+    # summing device totals over one host reproduces the host bill exactly
+    assert 4 * t["meta_per_step"] * 8 == pytest.approx(host_bill)
 
 
 def test_mode_split_identities():
@@ -69,7 +101,7 @@ def test_mode_split_identities():
     sh_cache_cross = sh["exchange"]["cross_host"]["total"] + \
         sh["meta_per_step"]
     assert nl["exchange"]["cross_host"]["total"] == 0
-    assert nl_cache_cross == nl["meta_per_step"]      # ~500 B here
+    assert nl_cache_cross == nl["meta_per_step"]      # ~250 B/device here
     assert nl_cache_cross < sh_cache_cross / 1000
 
 
@@ -79,8 +111,9 @@ def test_int8_response_shrinks_response_bytes():
     i8 = cm.step_traffic("sharded", int8_response=True, **kw)
     r32 = f32["exchange"]["off_device"]["response"]
     r8 = i8["exchange"]["off_device"]["response"]
-    # dim*4 bytes -> dim + 4 (line + scale) + 4 (scale a2a) per row
-    assert r32 / r8 == pytest.approx(256 * 4 / (256 + 4 + 4), rel=1e-6)
+    # dim*4 bytes -> dim (int8 line) + 4 (its f32 scale, second a2a) per
+    # slot — exactly what exchange_lookup ships (resp_q + resp_sc, once)
+    assert r32 / r8 == pytest.approx(256 * 4 / (256 + 4), rel=1e-6)
 
 
 def test_projection_monotone_in_bandwidth():
