@@ -38,11 +38,12 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=8)
     p.add_argument("--cache_mbs", default="195,97,48,24,12")
     p.add_argument("--stage_transport", default="int8")
+    p.add_argument("--platform", default="")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
     from coala_gnn_tpu.utils.jaxconfig import setup as jax_setup
-    jax_setup()
+    jax_setup(args.platform)
     import bench  # noqa: E402  (repo-root bench.py)
     from coala_gnn_tpu.graph.datasets import synthetic_graph
 
