@@ -49,27 +49,31 @@ def main(argv=None):
     ds = synthetic_graph(num_nodes=args.nodes, avg_degree=15,
                          feature_dim=args.dim, num_classes=16, seed=0)
 
-    # (tag, bf16 features, quantize lines, model_dtype, scan_unroll)
+    # (tag, bf16 features, quantize lines, model_dtype, scan_unroll, window)
     grid = [
-        ("f32_unroll1", False, False, "float32", 1),
-        ("f32_unroll4", False, False, "float32", 4),
-        ("f32_unroll8", False, False, "float32", 8),
-        ("bf16_unroll4", True, False, "bfloat16", 4),
-        ("int8_f32model_unroll4", False, True, "float32", 4),
-        ("int8_bf16model_unroll4", False, True, "bfloat16", 4),
-        ("int8_bf16model_unroll8", False, True, "bfloat16", 8),
+        ("f32_unroll1", False, False, "float32", 1, None),
+        ("f32_unroll4", False, False, "float32", 4, None),
+        ("f32_unroll8", False, False, "float32", 8, None),
+        ("f32_unroll4_K32", False, False, "float32", 4, 32),
+        ("bf16_unroll4", True, False, "bfloat16", 4, None),
+        ("bf16_unroll4_K32", True, False, "bfloat16", 4, 32),
+        ("int8_f32model_unroll4", False, True, "float32", 4, None),
+        ("int8_bf16model_unroll4", False, True, "bfloat16", 4, None),
+        ("int8_bf16model_unroll8", False, True, "bfloat16", 8, None),
+        ("int8_bf16model_unroll4_K32", False, True, "bfloat16", 4, 32),
     ]
     rows = {}
-    for tag, bf16, quant, mdt, unroll in grid:
+    for tag, bf16, quant, mdt, unroll, win in grid:
         r = bench.run_resident(ds, args.batch, fanouts, args.dim,
                                args.hidden, args.cache_mb, bf16,
                                args.warmup, args.steps, tag=f"tune-{tag}",
                                quantize=quant, model_dtype=mdt,
-                               scan_unroll=unroll)
+                               scan_unroll=unroll, window=win)
         rows[tag] = {"value": r["value"], "unit": r["unit"],
                      "cache_hit_ratio": r["cache_hit_ratio"],
                      "config": {"bf16_features": bf16, "int8_lines": quant,
-                                "model_dtype": mdt, "scan_unroll": unroll}}
+                                "model_dtype": mdt, "scan_unroll": unroll,
+                                "window": win}}
         print(f"tune {tag}: {r['value']:,.0f} edges/s", file=sys.stderr,
               flush=True)
 

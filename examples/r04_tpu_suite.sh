@@ -31,7 +31,7 @@ stage probe 300 python -c "import jax; print(jax.devices())" || {
 
 stage bench_ops 2400 python examples/bench_ops.py --cache_gather \
   --json BENCH_OPS_r04.json
-stage flagship_tune 4800 python examples/flagship_tune.py \
+stage flagship_tune 6000 python examples/flagship_tune.py \
   --out FLAGSHIP_TUNE_r04.json
 stage host_pipe_ab 3600 python examples/host_pipe_ab.py \
   --out HOST_PIPE_r04.json
