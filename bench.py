@@ -411,7 +411,8 @@ def run_dim1024(warmup, steps, nodes=None, dim=1024, B=512,
 
 def main():
     from coala_gnn_tpu.utils.jaxconfig import setup as jax_setup
-    jax_setup()
+    # BENCH_PLATFORM=cpu for smoke runs; default = session platform (TPU)
+    jax_setup(os.environ.get("BENCH_PLATFORM", ""))
     import jax
     import jax.numpy as jnp
     import optax
