@@ -16,7 +16,7 @@ import numpy as np
 
 from coala_gnn_tpu.utils.jaxconfig import setup as jax_setup
 
-jax_setup()
+jax_setup(os.environ.get("BENCH_PLATFORM", ""))
 
 import jax
 import jax.numpy as jnp
@@ -41,9 +41,35 @@ def main():
     caps = block_capacities(B, FANOUTS)
     rng = np.random.default_rng(0)
 
+    # dense padded neighbor table [N+1, P]: row i holds node i's neighbor
+    # list wrapped modulo its degree (deg-0 rows self-loop). Measures the
+    # LAYOUT cost of CSR sampling (indptr read + 2-level indices gather)
+    # against one uniform-stride gather — semantics differ for deg > P, so
+    # this is a roofline probe, not a drop-in sampler.
+    P_TBL = 16
+    indptr_np = np.asarray(ds.graph.indptr)
+    indices_np = np.asarray(ds.graph.indices)
+    deg_np = np.diff(indptr_np)
+    tbl_np = np.empty((NODES + 1, P_TBL), np.int32)
+    col = np.arange(P_TBL)
+    safe_deg = np.maximum(deg_np, 1)
+    gather_pos = indptr_np[:-1, None] + col[None, :] % safe_deg[:, None]
+    tbl_np[:-1] = np.where(deg_np[:, None] > 0,
+                           indices_np[np.minimum(gather_pos,
+                                                 indices_np.size - 1)],
+                           np.arange(NODES)[:, None])
+    tbl_np[-1] = NODES  # sentinel row
+    tbl = jnp.asarray(tbl_np)
+
     def sample_variant(g, dst, fanout, key, mode):
         n = dst.shape[0]
         k = jnp.arange(fanout, dtype=jnp.int32)[None, :]
+        if mode == "padded_table":
+            bits = jax.random.bits(key, (n, fanout), jnp.uint32)
+            off = (bits % jnp.uint32(P_TBL)).astype(jnp.int32)
+            nbr = tbl[dst[:, None], off]
+            mask = jnp.ones((n, fanout), jnp.float32)
+            return nbr, mask
         if mode == "no_indptr":
             starts = dst.astype(jnp.int32) * 0
             deg = jnp.full((n,), fanout, jnp.int32)
@@ -101,7 +127,8 @@ def main():
     keysets = [jax.random.key_data(jax.random.split(jax.random.key(w), K))
                for w in range(N_WINDOWS)]
 
-    for mode in ("full", "bits_mod", "no_rng", "no_gather", "no_indptr"):
+    for mode in ("full", "bits_mod", "no_rng", "no_gather", "no_indptr",
+                 "padded_table"):
         fn = make_fn(mode)
         out = None
         t0 = None

@@ -37,6 +37,7 @@ stage host_pipe_ab 3600 python examples/host_pipe_ab.py \
   --out HOST_PIPE_r04.json
 stage pressure_sweep 7200 python examples/pressure_sweep.py \
   --out PRESSURE_SWEEP_r04.json
+stage profile_sampling 1200 python examples/profile_sampling.py
 
 echo "suite done $(date +%H:%M:%S)" | tee -a "$LOG"
 ls -la BENCH_OPS_r04.json FLAGSHIP_TUNE_r04.json HOST_PIPE_r04.json \
