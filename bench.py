@@ -540,6 +540,26 @@ def main():
                     "value": g["value"], "unit": g["unit"],
                     "cache_hit_ratio": g["cache_hit_ratio"]}
             res["grid"] = grid
+            # distribution A/B at flagship scale rides along when the
+            # artifact exists (examples/affinity_ab.py measures it on the
+            # virtual multi-host mesh — Distribution_compare_script.sh
+            # parity; it cannot run on the single bench chip)
+            ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "AFFINITY_AB_r04.json")
+            if os.path.exists(ab_path):
+                try:
+                    with open(ab_path) as f:
+                        ab = json.load(f)
+                    res["distribution_ab_flagship"] = {
+                        p: {"baseline_hit": ab[p]["baseline"]["aggregate"],
+                            "node_color_hit":
+                                ab[p]["node_color"]["aggregate"],
+                            "hit_ratio_gain": ab[p]["hit_ratio_gain"]}
+                        for p in ("parts2", "parts4") if p in ab}
+                    res["distribution_ab_flagship"]["source"] = \
+                        "AFFINITY_AB_r04.json"
+                except Exception:
+                    pass
         if int(os.environ.get("BENCH_HOST", 1)):
             # fresh packed-host-pipeline number every round (VERDICT r2
             # weak #7: the r1 ladder entry went stale against a changed
