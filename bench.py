@@ -453,9 +453,35 @@ def main():
     log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")
     ds = synthetic_graph(num_nodes=num_nodes, avg_degree=15, feature_dim=dim,
                          num_classes=16, seed=0)
+
+    # adopt tuned headline knobs when the on-chip tuning artifact exists
+    # (examples/flagship_tune.py): best f32-lines row's scan_unroll/window.
+    # Every grid variant is exactness-pinned (test_training_parity), so
+    # this only moves schedule knobs, never semantics. Env overrides win.
+    tuned_unroll = tuned_window = None
+    tune_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "FLAGSHIP_TUNE_r04.json")
+    if os.path.exists(tune_path) and "BENCH_SCAN_UNROLL" not in os.environ \
+            and "BENCH_WINDOW" not in os.environ:
+        try:
+            with open(tune_path) as f:
+                tune = json.load(f)
+            f32_rows = {k: v for k, v in tune["rows"].items()
+                        if not v["config"]["int8_lines"]
+                        and not v["config"]["bf16_features"]}
+            if f32_rows:
+                best = max(f32_rows.values(), key=lambda r: r["value"])
+                tuned_unroll = best["config"]["scan_unroll"]
+                tuned_window = best["config"].get("window")
+                log(f"bench: tuned f32 knobs from {tune_path}: "
+                    f"scan_unroll={tuned_unroll} window={tuned_window}")
+        except Exception as e:
+            log(f"bench: ignoring unreadable tune artifact: {e}")
+
     if resident:
         res = run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16,
-                           warmup, steps)
+                           warmup, steps, scan_unroll=tuned_unroll,
+                           window=tuned_window)
         if int(os.environ.get("BENCH_BF16_BLOCK", 1)) and not bf16:
             # bf16 features + bf16 model compute: the fastest single-chip
             # configuration (25.5M edges/s measured r3 vs 22.6M f32 —
