@@ -89,7 +89,9 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
                        num_classes=ds.num_classes,
                        num_layers=len(fanouts), dtype=model_dtype)
     if scan_unroll is None:
-        scan_unroll = int(os.environ.get("BENCH_SCAN_UNROLL", 4))
+        # default 1 = the r3-proven headline schedule; unrolled variants
+        # are adopted via the measured tuning artifact (main), never blind
+        scan_unroll = int(os.environ.get("BENCH_SCAN_UNROLL", 1))
     rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
                          labels=ds.labels, cache_cfg=cfg, model=model,
                          tx=optax.adam(1e-3), fanouts=fanouts, batch_size=B,
