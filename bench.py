@@ -461,6 +461,7 @@ def main():
     # Every grid variant is exactness-pinned (test_training_parity), so
     # this only moves schedule knobs, never semantics. Env overrides win.
     tuned_unroll = tuned_window = None
+    tuned_best = None
     tune_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "FLAGSHIP_TUNE_r04.json")
     if os.path.exists(tune_path) and "BENCH_SCAN_UNROLL" not in os.environ \
@@ -477,6 +478,14 @@ def main():
                 tuned_window = best["config"].get("window")
                 log(f"bench: tuned f32 knobs from {tune_path}: "
                     f"scan_unroll={tuned_unroll} window={tuned_window}")
+            if tune.get("best") in tune.get("rows", {}):
+                # carry the grid's overall fastest configuration (may be
+                # int8/bf16 lines — exactness-pinned variants, see
+                # flagship_tune.py) so the artifact holds the measured
+                # single-chip ceiling next to the f32-parity headline
+                tuned_best = dict(tune["rows"][tune["best"]],
+                                  tag=tune["best"],
+                                  source="FLAGSHIP_TUNE_r04.json")
         except Exception as e:
             log(f"bench: ignoring unreadable tune artifact: {e}")
 
@@ -484,6 +493,8 @@ def main():
         res = run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16,
                            warmup, steps, scan_unroll=tuned_unroll,
                            window=tuned_window)
+        if tuned_best is not None:
+            res["tuned_best"] = tuned_best
         if int(os.environ.get("BENCH_BF16_BLOCK", 1)) and not bf16:
             # bf16 features + bf16 model compute: the fastest single-chip
             # configuration (25.5M edges/s measured r3 vs 22.6M f32 —
