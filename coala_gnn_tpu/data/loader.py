@@ -46,6 +46,10 @@ class HostBatch(NamedTuple):
     rels: Optional[List[np.ndarray]] = None  # per layer int32 (hetero only)
     edges: int = 0             # total valid sampled edges, all devices +
                                # layers (bench accounting without masks)
+    valid: Optional[np.ndarray] = None  # bool [n_dev, batch]: per-seed-slot
+                               # validity from the distributor (False =
+                               # wrapped drop_tail=False tail duplicate);
+                               # feeds the masked train step (--mask_tail)
 
 
 @dataclasses.dataclass
@@ -67,6 +71,9 @@ class CoalaDataLoader:
 
     def _make_batch(self) -> HostBatch:
         domain = self.scheduler.run_domain()
+        dv = self.scheduler.domain_valid
+        valid = (dv.reshape(self.local_size, self.batch_size).copy()
+                 if dv is not None else None)
         per_dev: List[SampledBatch] = []
         for d in range(self.local_size):
             seeds = domain[d * self.batch_size:(d + 1) * self.batch_size]
@@ -95,7 +102,8 @@ class CoalaDataLoader:
         return HostBatch(
             adjs=adjs, masks=masks, input_ids=input_ids, num_input=num_input,
             seeds=seeds, labels=self.labels[seeds].astype(np.int32),
-            sampled_nodes=int(num_input.sum()), rels=rels, edges=edges)
+            sampled_nodes=int(num_input.sum()), rels=rels, edges=edges,
+            valid=valid)
 
     def __iter__(self) -> Iterator[HostBatch]:
         if self.prefetch <= 0:

@@ -131,30 +131,50 @@ class SeedDistributor:
         np.random.default_rng(seed).shuffle(self.items)
 
     def distribute(self, it: int,
-                   cache_meta: Optional[np.ndarray] = None) -> np.ndarray:
-        """Part slices for iteration ``it``: int64 [num_parts, domain_batch]."""
+                   cache_meta: Optional[np.ndarray] = None,
+                   return_valid: bool = False):
+        """Part slices for iteration ``it``: int64 [num_parts, domain_batch].
+
+        With ``return_valid=True`` also returns bool [num_parts,
+        domain_batch] marking which slots carry real (non-wrapped) seeds —
+        the validity rides THROUGH the node_color reordering (each window
+        slot's real/wrapped flag follows its seed into the part slice), so
+        unlike the positional ``valid_mask`` it is sound for every mode.
+        All-true except the final drop_tail=False window."""
         if not 0 <= it < self.num_iters:
             raise IndexError(f"iteration {it} out of range [0, {self.num_iters})")
         window = self.items[it * self.global_batch:(it + 1) * self.global_batch]
-        if len(window) < self.global_batch:    # drop_tail=False final batch
+        n_real = len(window)
+        if n_real < self.global_batch:         # drop_tail=False final batch
             window = np.concatenate(           # cyclic wrap (np.resize
                 [window, np.resize(self.items,  # repeats tiny datasets)
-                                   self.global_batch - len(window))])
+                                   self.global_batch - n_real)])
+        real = np.arange(self.global_batch) < n_real
         if self.mode == "baseline" or cache_meta is None:
             # Contiguous striping: part j gets window[j*domain : (j+1)*domain].
-            return window.reshape(self.num_parts, self.domain_batch)
+            out = window.reshape(self.num_parts, self.domain_batch)
+            if return_valid:
+                return out, real.reshape(self.num_parts, self.domain_batch)
+            return out
         assign = greedy_affinity_assign(
             window, self.color, self.topk_colors, self.affinity,
             cache_meta, capacity=self.domain_batch, use_native=self.use_native)
         out = np.empty((self.num_parts, self.domain_batch), dtype=np.int64)
+        valid = np.zeros((self.num_parts, self.domain_batch), dtype=bool)
         for j in range(self.num_parts):
-            mine = window[assign == j]
+            sel = assign == j
+            mine = window[sel]
+            mv = real[sel]
             # Greedy capacity can underfill a part only if every other part
             # hit capacity first; pad by wrapping (keeps static shape).
             if len(mine) < self.domain_batch:
                 pad = np.resize(mine if len(mine) else window, self.domain_batch - len(mine))
-                mine = np.concatenate([mine, pad])
+                mine = np.concatenate([mine, pad])   # pad slots stay invalid
             out[j] = mine[: self.domain_batch]
+            valid[j, : min(len(mv), self.domain_batch)] = \
+                mv[: self.domain_batch]
+        if return_valid:
+            return out, valid
         return out
 
     def valid_mask(self, it: int) -> np.ndarray:

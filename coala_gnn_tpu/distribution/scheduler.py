@@ -49,10 +49,18 @@ class DistributionScheduler:
         self._meta_thread: Optional[threading.Thread] = None
         self._dist_thread: Optional[threading.Thread] = None
         self._next_domain: Optional[np.ndarray] = None
+        self._next_valid: Optional[np.ndarray] = None
+        #: bool [domain_batch] — per-slot validity of the last run_domain()
+        #: output (False = wrapped tail duplicate; see
+        #: SeedDistributor.distribute return_valid). All-true except the
+        #: final drop_tail=False iteration of an epoch.
+        self.domain_valid: Optional[np.ndarray] = None
         self._iter = 0
 
     def _distribute(self, it: int) -> None:
-        self._next_domain = self.d.distribute(it, self._meta)[self.part_id]
+        out, valid = self.d.distribute(it, self._meta, return_valid=True)
+        self._next_valid = valid[self.part_id]
+        self._next_domain = out[self.part_id]
 
     def _exchange_meta(self, local: np.ndarray) -> None:
         self._meta_pending = self.meta_exchange_fn(local)
@@ -77,7 +85,8 @@ class DistributionScheduler:
         if self._next_domain is None:
             self._distribute(it)
         domain = self._next_domain
-        self._next_domain = None
+        self.domain_valid = self._next_valid
+        self._next_domain = self._next_valid = None
 
         # Cache-meta refresh cadence: flip in the finished snapshot, then
         # launch the next async exchange.
@@ -107,7 +116,7 @@ class DistributionScheduler:
             if t is not None:
                 t.join()
         self._dist_thread = self._meta_thread = None
-        self._next_domain = None
+        self._next_domain = self._next_valid = None
         self._iter = 0
         if shuffle_seed is not None:
             self.d.reshuffle(shuffle_seed)

@@ -158,7 +158,8 @@ def make_contig_train_step(model: nn.Module,
 
 def make_sharded_train_step(model: nn.Module,
                             tx: optax.GradientTransformation,
-                            mesh, batch_size: int) -> Callable:
+                            mesh, batch_size: int,
+                            masked: bool = False) -> Callable:
     """Data-parallel train step over the mesh ``data`` axis.
 
     Replaces the reference's DDP + NCCL gradient all-reduce
@@ -168,6 +169,15 @@ def make_sharded_train_step(model: nn.Module,
 
     Inputs carry a leading device axis: blocks leaves [n_dev, ...],
     x [n_dev, cap_src, dim], labels [n_dev, B]. Params/opt_state replicated.
+
+    ``masked=True`` returns a step taking one extra ``valid`` argument
+    (bool [n_dev, B], from ``SeedDistributor.distribute(return_valid=True)``)
+    and optimizes the GLOBAL masked mean — sum of per-slot CE over every
+    real seed divided by the global real count, gradients psum'd. Wrapped
+    tail duplicates (drop_tail=False) then contribute exactly zero gradient:
+    an epoch's update sequence equals training on the real seeds alone.
+    With an all-true mask this is the same global mean the unmasked step
+    computes (equal per-device counts make pmean-of-means the global mean).
     """
     import jax
     from jax import shard_map
@@ -175,35 +185,48 @@ def make_sharded_train_step(model: nn.Module,
 
     from coala_gnn_tpu.parallel.mesh import DATA_AXIS
 
-    def local_grads(params, key, blocks, x, labels):
+    def local_grads(params, key, blocks, x, labels, valid=None):
         blocks = jax.tree.map(lambda a: a[0], blocks)
         x, labels = x[0], labels[0]
         key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        if masked:
+            w = valid[0].astype(jnp.float32)
+            n_glob = jnp.maximum(jax.lax.psum(w.sum(), DATA_AXIS), 1.0)
 
         def loss_fn(p):
             logits = model.apply(p, blocks, x, train=True,
                                  rngs={"dropout": key})[:batch_size]
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            if masked:
+                return (ce * w).sum() / n_glob, logits
             return ce.mean(), logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
-        acc = jax.lax.pmean((logits.argmax(-1) == labels).mean(), DATA_AXIS)
+        ok = logits.argmax(-1) == labels
+        if masked:
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            loss = jax.lax.psum(loss, DATA_AXIS)
+            acc = jax.lax.psum((ok * w).sum(), DATA_AXIS) / n_glob
+        else:
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            acc = jax.lax.pmean(ok.mean(), DATA_AXIS)
         return grads, loss, acc
 
-    def sharded(params, key, blocks, x, labels):
+    def sharded(params, key, blocks, x, labels, *valid):
         grads_spec = jax.tree.map(lambda _: P(), params)
         blocks_spec = jax.tree.map(lambda _: P(DATA_AXIS), blocks)
+        vspec = (P(DATA_AXIS),) if masked else ()
         return shard_map(
             local_grads, mesh=mesh,
-            in_specs=(grads_spec, P(), blocks_spec, P(DATA_AXIS), P(DATA_AXIS)),
+            in_specs=(grads_spec, P(), blocks_spec, P(DATA_AXIS),
+                      P(DATA_AXIS)) + vspec,
             out_specs=(grads_spec, P(), P()),
-            check_vma=False)(params, key, blocks, x, labels)
+            check_vma=False)(params, key, blocks, x, labels, *valid)
 
     @jax.jit
-    def step(params, opt_state, key, blocks, x, labels):
-        grads, loss, acc = sharded(params, key, blocks, x, labels)
+    def step(params, opt_state, key, blocks, x, labels, *valid):
+        grads, loss, acc = sharded(params, key, blocks, x, labels, *valid)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, acc

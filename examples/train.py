@@ -81,6 +81,12 @@ def parse_args(argv=None):
                         "wrap-padding the final global batch (default "
                         "drops tail seeds like the reference, "
                         "COALA_GNN_DataLoader.py:141-151)")
+    p.add_argument("--mask_tail", action="store_true",
+                   help="implies --keep_tail and additionally zeroes the "
+                        "wrapped duplicates' loss/gradient contribution "
+                        "(global masked mean): the epoch's updates equal "
+                        "training on the real seeds alone, under any "
+                        "distribution mode (host pipeline)")
     p.add_argument("--shard_topology", action="store_true",
                    help="resident pipeline: shard indptr/indices over the "
                         "mesh (E/n_dev edges per device; papers100M-class "
@@ -127,6 +133,13 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
     import time
 
     from coala_gnn_tpu.parallel.sharded_resident import ShardedResidentTrainer
+
+    if args.mask_tail:
+        print("WARNING: --mask_tail loss masking is a host-pipeline "
+              "feature; the resident pipeline honors the implied "
+              "--keep_tail coverage (every seed visited) but the wrapped "
+              "tail duplicates still contribute to the final fused "
+              "window's loss")
 
     rt = ShardedResidentTrainer(
         graph=ds.graph, host_fetch=store.fetch, labels=ds.labels,
@@ -318,7 +331,8 @@ def main(argv=None):
         color=None if meta is None else meta.color,
         topk_colors=None if meta is None else meta.topk,
         affinity=None if meta is None else meta.score,
-        shuffle_seed=args.seed, drop_tail=not args.keep_tail)
+        shuffle_seed=args.seed,
+        drop_tail=not (args.keep_tail or args.mask_tail))
     scheduler = DistributionScheduler(
         distributor, part_id=host_id, local_rank=0,
         meta_exchange_fn=(make_meta_exchange_fn(meta.num_colors)
@@ -432,7 +446,8 @@ def main(argv=None):
         return cache.fetch(hb.input_ids, hb.num_input, store.fetch,
                            colors=None if meta is None else meta.color)
 
-    train_step = make_sharded_train_step(model, tx, mesh, B)
+    train_step = make_sharded_train_step(model, tx, mesh, B,
+                                         masked=args.mask_tail)
     key = jax.random.key(args.seed)
 
     steps_per_epoch = len(loader)
@@ -485,8 +500,14 @@ def main(argv=None):
                                     jnp.asarray(np.asarray(x)[0]))
                 opt_state = tx.init(params)
             key, sub = jax.random.split(key)
+            extra = ()
+            if args.mask_tail:
+                v = hb.valid if hb.valid is not None else \
+                    np.ones((n_dev, B), bool)
+                extra = (put(v),)
             params, opt_state, loss, acc = train_step(params, opt_state, sub,
-                                                      dblocks, x, labels)
+                                                      dblocks, x, labels,
+                                                      *extra)
             sampled_total += hb.sampled_nodes
         jax.block_until_ready(loss)
         if args.profile_dir and epoch == 0:

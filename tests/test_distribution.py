@@ -195,3 +195,65 @@ def test_valid_mask_refuses_reordering_mode(colored):
                         shuffle_seed=0, drop_tail=False)
     with pytest.raises(ValueError):
         d.valid_mask(0)
+
+
+def test_distribute_return_valid_baseline_matches_mask():
+    """distribute(return_valid=True) equals the positional valid_mask in
+    baseline mode, and the valid slots cover every seed exactly once."""
+    ids = np.arange(1000, 1103)           # 103 seeds, global_batch = 16
+    d = SeedDistributor(ids, batch_size=4, local_size=2, num_parts=2,
+                        shuffle_seed=0, drop_tail=False)
+    seen = []
+    for it in range(d.num_iters):
+        out, valid = d.distribute(it, return_valid=True)
+        np.testing.assert_array_equal(valid, d.valid_mask(it))
+        np.testing.assert_array_equal(out, d.distribute(it))
+        seen.extend(out[valid].tolist())
+    assert sorted(seen) == ids.tolist()
+
+
+def test_distribute_return_valid_node_color(colored):
+    """Validity rides THROUGH the node_color reordering: across an epoch
+    the valid slots name every seed exactly once, and the final window's
+    invalid slots hold only wrapped duplicates (the case positional
+    valid_mask refuses, ADVICE r3 #3)."""
+    _, meta = colored
+    rng = np.random.default_rng(3)
+    ids = np.arange(100)                   # global_batch = 16 -> tail of 4
+    d = SeedDistributor(ids, batch_size=4, local_size=2, num_parts=2,
+                        mode="node_color", color=meta.color,
+                        topk_colors=meta.topk, affinity=meta.score,
+                        shuffle_seed=0, drop_tail=False)
+    cache_meta = rng.integers(
+        0, 50, size=(2, meta.num_colors + 1)).astype(np.int32)
+    seen = []
+    for it in range(d.num_iters):
+        out, valid = d.distribute(it, cache_meta, return_valid=True)
+        assert out.shape == valid.shape == (2, 8)
+        if it < d.num_iters - 1:
+            assert valid.all()
+        else:
+            assert int(valid.sum()) == 100 % 16
+            # wrapped duplicates are real epoch seeds seen before
+            assert set(out[~valid].tolist()) <= set(seen)
+        seen.extend(out[valid].tolist())
+    assert sorted(seen) == ids.tolist()
+
+
+def test_scheduler_threads_domain_valid():
+    """The pipelined scheduler exposes each run_domain() slice's validity
+    (computed with the same one-iteration-ahead distribution)."""
+    ids = np.arange(103)
+    d = SeedDistributor(ids, batch_size=4, local_size=2, num_parts=1,
+                        shuffle_seed=0, drop_tail=False)
+    s = DistributionScheduler(d, part_id=0, local_rank=0)
+    seen = []
+    for _ in range(d.num_iters):
+        dom = s.run_domain()
+        v = s.domain_valid
+        assert v is not None and v.shape == dom.shape
+        seen.extend(dom[v].tolist())
+    assert sorted(seen) == ids.tolist()
+    s.reset()
+    dom = s.run_domain()                  # restart: first window all-valid
+    assert s.domain_valid is not None and s.domain_valid.all()

@@ -125,3 +125,70 @@ def test_feature_fetch_matches_direct_gather():
             np.testing.assert_allclose(feats[d, :nv],
                                        ds.features[ids[d, :nv]], rtol=1e-6,
                                        err_msg=f"trial {trial} dev {d}")
+
+
+def test_masked_train_step_tail_exactness():
+    """The masked DP step (--mask_tail) zeroes wrapped-duplicate slots'
+    contribution exactly: (a) the update is invariant to the CONTENT of
+    invalid slots, (b) with an all-true mask it matches the unmasked step's
+    global mean."""
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    ds = synthetic_graph(num_nodes=4000, avg_degree=10, feature_dim=32,
+                         num_classes=8, seed=11)
+    store = HostFeatureStore(ds.features)
+    B, fanouts = 4, [4, 3]
+    sampler = NeighborSampler(ds.graph, fanouts, B, seed=0)
+    # 100 seeds, global_batch = 32 -> 4 iterations, final wraps 28 slots
+    d = SeedDistributor(ds.train_idx[:100], batch_size=B, local_size=n_dev,
+                        num_parts=1, shuffle_seed=0, drop_tail=False)
+    sched = DistributionScheduler(d, part_id=0, local_rank=0)
+    loader = CoalaDataLoader(scheduler=sched, sampler=sampler,
+                             labels=ds.labels, local_size=n_dev, prefetch=0)
+    hb = list(loader)[-1]                      # the wrapped tail batch
+    assert hb.valid is not None and (~hb.valid).any() and hb.valid.any()
+
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    blocks = [DeviceBlock(adj=jax.device_put(a, sh),
+                          mask=jax.device_put(m, sh))
+              for a, m in zip(hb.adjs, hb.masks)]
+    x = jax.device_put(
+        np.stack([store.fetch(ids) for ids in hb.input_ids]), sh)
+    labels = hb.labels
+
+    model = make_model("sage", hidden=16, num_classes=ds.num_classes,
+                       num_layers=2)
+    tx = optax.adam(1e-2)
+    single_blocks = [DeviceBlock(adj=jnp.asarray(hb.adjs[l][0]),
+                                 mask=jnp.asarray(hb.masks[l][0]))
+                     for l in range(len(hb.adjs))]
+    params = model.init(jax.random.key(1), single_blocks,
+                        jnp.asarray(np.asarray(x)[0]))
+    opt_state = tx.init(params)
+
+    step_m = make_sharded_train_step(model, tx, mesh, B, masked=True)
+    step_u = make_sharded_train_step(model, tx, mesh, B)
+    key = jax.random.key(7)
+    vput = jax.device_put(hb.valid, sh)
+
+    # (a) invalid-slot content invariance: corrupt the wrapped labels
+    p1, _, l1, a1 = step_m(params, opt_state, key, blocks, x,
+                           jax.device_put(labels, sh), vput)
+    corrupted = labels.copy()
+    corrupted[~hb.valid] = (corrupted[~hb.valid] + 3) % ds.num_classes
+    p2, _, l2, a2 = step_m(params, opt_state, key, blocks, x,
+                           jax.device_put(corrupted, sh), vput)
+    assert float(l1) == float(l2) and float(a1) == float(a2)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), p1, p2)
+
+    # (b) all-true mask == unmasked global mean
+    ones = jax.device_put(np.ones_like(hb.valid), sh)
+    pm, _, lm, am = step_m(params, opt_state, key, blocks, x,
+                           jax.device_put(labels, sh), ones)
+    pu, _, lu, au = step_u(params, opt_state, key, blocks, x,
+                           jax.device_put(labels, sh))
+    assert np.isclose(float(lm), float(lu), rtol=1e-5)
+    assert np.isclose(float(am), float(au), rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6), pm, pu)
