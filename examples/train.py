@@ -249,10 +249,10 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
         n_test, gb = len(ds.test_idx), ed.global_batch
         for it in range(ed.num_iters):
             grid = es.run_domain().reshape(n_dev, B).astype(np.int32)
+            valid = es.domain_valid.reshape(n_dev, B)
             key, k1 = jax.random.split(key)
             resolved = rt.resolve(rt.begin(grid, k1))
             n_real = min(gb, n_test - it * gb)
-            valid = ed.valid_mask(it).reshape(n_dev, B)
             correct += rt.eval_step(params, resolved, valid=valid)
             total += n_real
         print(f"Test accuracy: {correct / max(total, 1):.4f} ({total} nodes)")
@@ -555,10 +555,13 @@ def main(argv=None):
             labels = put(hb.labels)
             ok = eval_slot(params, dblocks, x, labels)  # [n_dev*n_hosts, B]
             n_real = min(gb, n_test - it * gb)
-            valid = eval_distributor.valid_mask(it).reshape(
-                n_hosts * n_dev, B)
+            # this host's slots' validity, threaded through the loader
+            # (rides the distribution like the train mask; global row g is
+            # this host's local device g - host_id*n_dev)
+            valid = hb.valid
             idxs, rows = read_local_shards(ok)
-            local_c = sum(int((np.asarray(rows[i]) & valid[g]).sum())
+            local_c = sum(int((np.asarray(rows[i])
+                               & valid[g - host_id * n_dev]).sum())
                           for i, g in enumerate(idxs))
             if n_hosts > 1:
                 from jax.experimental import multihost_utils
