@@ -802,12 +802,14 @@ class ShardedResidentTrainer:
                   valid: Optional[np.ndarray] = None) -> int:
         """Jitted DP eval. ``valid`` (bool [n_dev, B], optional) masks out
         padded/wrapped seed slots — exact-tail accounting for splits that
-        don't fill a whole global batch. Derive it from
-        ``SeedDistributor.valid_mask(it)``: positional masks are only sound
-        for mode='baseline' (order-preserving striping); a reordering mode
-        like node_color scatters wrapped duplicates and valid_mask refuses.
-        Multi-process safe: each process counts its own devices' slots and
-        the counts allgather-sum."""
+        don't fill a whole global batch. Derive it from the distributor:
+        ``DistributionScheduler.domain_valid`` (or
+        ``SeedDistributor.distribute(..., return_valid=True)``) threads
+        per-slot validity THROUGH any reordering, so it is sound for every
+        distribution mode; the older positional ``valid_mask(it)`` remains
+        valid for mode='baseline' only (order-preserving striping) and
+        refuses otherwise. Multi-process safe: each process counts its own
+        devices' slots and the counts allgather-sum."""
         blocks, feats, y = resolved
         ok = self._eval_b(params, blocks, feats, y)       # [n_dev, B] bool
         from coala_gnn_tpu.parallel.multihost import read_local_shards
