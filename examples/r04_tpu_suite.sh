@@ -17,9 +17,20 @@ cd "$(dirname "$0")/.." || exit 1
 LOG=r04_suite.log
 : > "$LOG"
 
+# Hard deadline: the round driver runs bench.py on the same single chip at
+# round end — a still-running stage would deadlock it. Past the deadline no
+# new stage launches, and a stage's timeout is clamped to the time left.
+DEADLINE=${SUITE_DEADLINE_EPOCH:-1787050800}   # 2026-08-18 11:00 UTC
+
 stage() {
   local name=$1 tmo=$2; shift 2
-  echo "=== $name start $(date +%H:%M:%S) ===" | tee -a "$LOG"
+  local left=$((DEADLINE - $(date +%s)))
+  if [ "$left" -lt 120 ]; then
+    echo "=== $name SKIPPED (past deadline) ===" | tee -a "$LOG"
+    return 9
+  fi
+  [ "$tmo" -gt "$left" ] && tmo=$left
+  echo "=== $name start $(date +%H:%M:%S) (tmo=${tmo}s) ===" | tee -a "$LOG"
   timeout "$tmo" "$@" >> "$LOG" 2>&1
   local rc=$?
   echo "=== $name exit=$rc $(date +%H:%M:%S) ===" | tee -a "$LOG"
