@@ -180,6 +180,47 @@ class ShardedResidentTrainer:
 
         self._stage_b = jax.jit(stage_b)
 
+        # masked variant (exact-tail training): optimizes the GLOBAL masked
+        # mean — wrapped drop_tail=False duplicates (valid=False slots, from
+        # SeedDistributor.distribute(return_valid=True)) contribute exactly
+        # zero loss/gradient. Traced only if a caller passes a mask.
+        def local_grads_masked(params, key, blocks, x, labels, valid):
+            blocks = jax.tree.map(lambda a: a[0], blocks)
+            x, labels = x[0], labels[0]
+            w = valid[0].astype(jnp.float32)
+            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            n_glob = jnp.maximum(jax.lax.psum(w.sum(), DATA_AXIS), 1.0)
+
+            def loss_fn(p):
+                logits = model.apply(p, blocks, x, train=True,
+                                     rngs={"dropout": key})[:B]
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels)
+                return (ce * w).sum() / n_glob, logits
+
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            loss = jax.lax.psum(loss, DATA_AXIS)
+            acc = jax.lax.psum(((logits.argmax(-1) == labels) * w).sum(),
+                               DATA_AXIS) / n_glob
+            return grads, loss, acc
+
+        def stage_b_masked(params, opt_state, key, blocks, x, labels, valid):
+            params_spec = jax.tree.map(lambda _: P(), params)
+            bspec = jax.tree.map(lambda _: P(DATA_AXIS), blocks)
+            grads, loss, acc = shard_map(
+                local_grads_masked, mesh=mesh,
+                in_specs=(params_spec, P(), bspec, P(DATA_AXIS),
+                          P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(params_spec, P(), P()),
+                check_vma=False)(params, key, blocks, x, labels, valid)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, acc
+
+        self._stage_b_masked = jax.jit(stage_b_masked)
+
         def local_eval(params, blocks, x, labels):
             blocks = jax.tree.map(lambda a: a[0], blocks)
             logits = model.apply(params, blocks, x[0], train=False)[:B]
@@ -794,9 +835,20 @@ class ShardedResidentTrainer:
                                   jax.device_put(colors_m, sh2))
         return blocks, feats, y
 
-    def train_step(self, params, opt_state, key, resolved):
+    def train_step(self, params, opt_state, key, resolved,
+                   valid: Optional[np.ndarray] = None):
+        """One DP step. ``valid`` (bool [n_dev, B], optional) switches to
+        the masked global-mean loss: invalid slots (wrapped tail
+        duplicates) contribute exactly zero gradient — the exact-tail
+        training path (--mask_tail routes the final wrapped iteration of
+        an epoch here instead of into a fused window)."""
         blocks, feats, y = resolved
-        return self._stage_b(params, opt_state, key, blocks, feats, y)
+        if valid is None:
+            return self._stage_b(params, opt_state, key, blocks, feats, y)
+        v = jax.device_put(np.asarray(valid, bool),
+                           NamedSharding(self.mesh, P(DATA_AXIS)))
+        return self._stage_b_masked(params, opt_state, key, blocks, feats,
+                                    y, v)
 
     def eval_step(self, params, resolved,
                   valid: Optional[np.ndarray] = None) -> int:

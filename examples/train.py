@@ -86,7 +86,9 @@ def parse_args(argv=None):
                         "wrapped duplicates' loss/gradient contribution "
                         "(global masked mean): the epoch's updates equal "
                         "training on the real seeds alone, under any "
-                        "distribution mode (host pipeline)")
+                        "distribution mode (host pipeline; the resident "
+                        "pipeline routes the one wrapped iteration through "
+                        "its masked per-step path)")
     p.add_argument("--shard_topology", action="store_true",
                    help="resident pipeline: shard indptr/indices over the "
                         "mesh (E/n_dev edges per device; papers100M-class "
@@ -134,12 +136,6 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
 
     from coala_gnn_tpu.parallel.sharded_resident import ShardedResidentTrainer
 
-    if args.mask_tail:
-        print("WARNING: --mask_tail loss masking is a host-pipeline "
-              "feature; the resident pipeline honors the implied "
-              "--keep_tail coverage (every seed visited) but the wrapped "
-              "tail duplicates still contribute to the final fused "
-              "window's loss")
 
     rt = ShardedResidentTrainer(
         graph=ds.graph, host_fetch=store.fetch, labels=ds.labels,
@@ -158,6 +154,23 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
     def seed_grid():
         domain = scheduler.run_domain()
         return domain.reshape(n_dev, B).astype(np.int32)
+
+    # exact-tail training: the only iteration with wrapped duplicates is
+    # the epoch's last (drop_tail=False); --mask_tail routes it through the
+    # masked per-step path so the duplicates contribute zero gradient
+    tail_it = -1
+    if args.mask_tail and scheduler.d.num_iters and \
+            len(scheduler.d.items) % scheduler.d.global_batch:
+        tail_it = scheduler.d.num_iters - 1
+
+    def masked_tail_step(params, opt_state, key):
+        grid = seed_grid()
+        v = scheduler.domain_valid.reshape(n_dev, B)
+        key, k1, k2 = jax.random.split(key, 3)
+        h = rt.begin(grid, k1)
+        params, opt_state, loss, acc = rt.train_step(
+            params, opt_state, k2, rt.resolve(h), valid=v)
+        return params, opt_state, loss, acc, h[6], key
 
     def init_params(resolved):
         import jax.numpy as jnp
@@ -193,15 +206,25 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
         while it < steps_per_epoch:
             if params is None:
                 key, k0 = jax.random.split(key)
-                resolved0 = rt.resolve(rt.begin(seed_grid(), k0))
+                grid0 = seed_grid()
+                v0 = (scheduler.domain_valid.reshape(n_dev, B)
+                      if it == tail_it else None)
+                resolved0 = rt.resolve(rt.begin(grid0, k0))
                 params, opt_state = init_params(resolved0)
                 key, k2 = jax.random.split(key)
                 params, opt_state, loss, acc = rt.train_step(
-                    params, opt_state, k2, resolved0)
+                    params, opt_state, k2, resolved0, valid=v0)
                 it += 1
                 continue
-            if K > 1:
+            if it == tail_it:
+                params, opt_state, loss, acc, edges, key = masked_tail_step(
+                    params, opt_state, key)
+                edge_counts.append(edges)
+                it += 1
+            elif K > 1:
                 k_here = min(K, steps_per_epoch - it)
+                if tail_it >= 0 and it < tail_it < it + k_here:
+                    k_here = tail_it - it  # stop the window before the tail
                 grid = np.stack([seed_grid() for _ in range(k_here)], axis=1)
                 key, kw = jax.random.split(key)
                 params, opt_state, losses, edges = rt.train_window(
@@ -211,9 +234,12 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
                 it += k_here
             else:
                 key, k1, k2 = jax.random.split(key, 3)
-                nxt = rt.begin(seed_grid(), k1) if pending is None else pending
+                if pending is None:
+                    nxt = rt.begin(seed_grid(), k1)
+                else:
+                    nxt = pending
                 pending = None
-                if it + 1 < steps_per_epoch:
+                if it + 1 < steps_per_epoch and it + 1 != tail_it:
                     key, kp = jax.random.split(key)
                     pending = rt.begin(seed_grid(), kp)
                 resolved = rt.resolve(nxt)

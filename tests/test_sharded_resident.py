@@ -84,6 +84,51 @@ def test_sharded_resident_trains_and_hits(setup):
     assert s["hits"] > 0      # sharded cache serves repeat requests
 
 
+def test_sharded_resident_masked_tail_exactness(setup):
+    """The resident masked DP step (--mask_tail's tail route) zeroes
+    invalid slots' contribution exactly: (a) the update is invariant to
+    the CONTENT of invalid slots, (b) an all-true mask matches the
+    unmasked step's global mean."""
+    import jax.numpy as jnp
+
+    ds, store, rt, model, mesh = setup
+    n_dev = mesh.devices.size
+    B = 16
+    rng = np.random.default_rng(23)
+    resolved = rt.resolve(rt.begin(_seed_grid(ds, rng, n_dev, B),
+                                   jax.random.key(0)))
+    blocks0 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]),
+                           resolved[0])
+    params = model.init(jax.random.key(0), blocks0,
+                        jnp.asarray(np.asarray(resolved[1])[0]))
+    opt = rt.tx.init(params)
+
+    valid = np.ones((n_dev, B), bool)
+    valid[-1, B // 2:] = False          # wrapped-duplicate tail slots
+    key = jax.random.key(3)
+
+    # (a) invalid-slot content invariance: corrupt the masked labels
+    p1, _, l1, a1 = rt.train_step(params, opt, key, resolved, valid=valid)
+    blocks, feats, y = resolved
+    y_np = np.asarray(y).copy()
+    y_np[~valid] = (y_np[~valid] + 3) % ds.num_classes
+    y2 = jax.device_put(y_np, y.sharding)
+    p2, _, l2, a2 = rt.train_step(params, opt, key, (blocks, feats, y2),
+                                  valid=valid)
+    assert float(l1) == float(l2) and float(a1) == float(a2)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), p1, p2)
+
+    # (b) all-true mask == unmasked global mean
+    pm, _, lm, am = rt.train_step(params, opt, key, resolved,
+                                  valid=np.ones((n_dev, B), bool))
+    pu, _, lu, au = rt.train_step(params, opt, key, resolved)
+    assert np.isclose(float(lm), float(lu), rtol=1e-5)
+    assert np.isclose(float(am), float(au), rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6), pm, pu)
+
+
 def test_sharded_window_cold_cache_staged():
     """Cold sharded cache: the bitmap probe stages every unserved row so
     the fused multi-device window runs exactly (no replay), deterministic
