@@ -58,7 +58,8 @@ def _self_baseline(config=None):
 def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
                  prewarm_frac=1.0, tag="resident", quantize=None,
                  priorities=None, stage_transport="auto", window=None,
-                 model_dtype=None, model_type="sage", scan_unroll=None):
+                 model_dtype=None, model_type="sage", scan_unroll=None,
+                 nbr_cap=None):
     """Device-resident mode: topology in HBM, sampling+probe in jit; host
     uploads only seeds (~4 KB/step). prewarm_frac < 1 leaves the cache
     under capacity pressure (the regime COALA exists for): only the
@@ -92,12 +93,16 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
         # default 1 = the r3-proven headline schedule; unrolled variants
         # are adopted via the measured tuning artifact (main), never blind
         scan_unroll = int(os.environ.get("BENCH_SCAN_UNROLL", 1))
+    if nbr_cap is None:
+        # padded-neighbor-table topology layout (0 = CSR, the default);
+        # adopted via the tuning artifact like scan_unroll
+        nbr_cap = int(os.environ.get("BENCH_NBR_CAP", 0)) or None
     rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
                          labels=ds.labels, cache_cfg=cfg, model=model,
                          tx=optax.adam(1e-3), fanouts=fanouts, batch_size=B,
                          priorities=priorities,
                          stage_transport=stage_transport,
-                         scan_unroll=scan_unroll)
+                         scan_unroll=scan_unroll, nbr_cap=nbr_cap)
     t = time.perf_counter()
     n_warm = min(cfg.capacity, ds.graph.num_nodes)
     if prewarm_frac >= 1.0 and cfg.capacity >= ds.graph.num_nodes:
@@ -179,7 +184,8 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
               "cache_lines": "int8" if quant else
               ("bfloat16" if bf16 else "float32"),
               "stage_transport": rt.stage_transport,
-              "window": K,
+              "window": K, "scan_unroll": rt.scan_unroll,
+              "nbr_cap": nbr_cap,
               "priorities": "degree" if priorities is not None else None}
     base = _self_baseline(config)
     return {
@@ -460,12 +466,13 @@ def main():
     # (examples/flagship_tune.py): best f32-lines row's scan_unroll/window.
     # Every grid variant is exactness-pinned (test_training_parity), so
     # this only moves schedule knobs, never semantics. Env overrides win.
-    tuned_unroll = tuned_window = None
+    tuned_unroll = tuned_window = tuned_nbr_cap = None
     tuned_best = None
     tune_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "FLAGSHIP_TUNE_r04.json")
     if os.path.exists(tune_path) and "BENCH_SCAN_UNROLL" not in os.environ \
-            and "BENCH_WINDOW" not in os.environ:
+            and "BENCH_WINDOW" not in os.environ \
+            and "BENCH_NBR_CAP" not in os.environ:
         try:
             with open(tune_path) as f:
                 tune = json.load(f)
@@ -476,8 +483,10 @@ def main():
                 best = max(f32_rows.values(), key=lambda r: r["value"])
                 tuned_unroll = best["config"]["scan_unroll"]
                 tuned_window = best["config"].get("window")
+                tuned_nbr_cap = best["config"].get("nbr_cap")
                 log(f"bench: tuned f32 knobs from {tune_path}: "
-                    f"scan_unroll={tuned_unroll} window={tuned_window}")
+                    f"scan_unroll={tuned_unroll} window={tuned_window} "
+                    f"nbr_cap={tuned_nbr_cap}")
             if tune.get("best") in tune.get("rows", {}):
                 # carry the grid's overall fastest configuration (may be
                 # int8/bf16 lines — exactness-pinned variants, see
@@ -492,7 +501,7 @@ def main():
     if resident:
         res = run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16,
                            warmup, steps, scan_unroll=tuned_unroll,
-                           window=tuned_window)
+                           window=tuned_window, nbr_cap=tuned_nbr_cap)
         if tuned_best is not None:
             res["tuned_best"] = tuned_best
         if int(os.environ.get("BENCH_BF16_BLOCK", 1)) and not bf16:

@@ -157,9 +157,17 @@ class ResidentTrainer:
                                    # exposes that cross-step overlap and
                                    # leaves only the params chain serial.
                                    # Identical math, K/unroll x bigger HLO.
+    nbr_cap: Optional[int] = None  # padded-neighbor-table topology layout
+                                   # (to_device_graph nbr_cap): one aligned
+                                   # [P]-row read per dst; exact for
+                                   # deg <= P, seeded random P-subset
+                                   # truncation above. P >= max(fanouts).
 
     def __post_init__(self):
-        self.g = to_device_graph(self.graph)
+        if self.nbr_cap is not None and self.nbr_cap < max(self.fanouts):
+            raise ValueError(
+                f"nbr_cap={self.nbr_cap} < max fanout {max(self.fanouts)}")
+        self.g = to_device_graph(self.graph, nbr_cap=self.nbr_cap)
         self.labels_dev = jnp.asarray(self.labels.astype(np.int32))
         self.colors_dev = (jnp.asarray(self.colors.astype(np.int32))
                            if self.colors is not None else None)

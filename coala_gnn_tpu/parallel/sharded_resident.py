@@ -64,6 +64,13 @@ class ShardedResidentTrainer:
                                    # (papers100M-class graphs; E/n_dev
                                    # edges per device) instead of
                                    # replicating them into every HBM
+    nbr_cap: Optional[int] = None  # padded-neighbor-table topology layout
+                                   # (to_device_graph nbr_cap): sampling
+                                   # reads one aligned [P]-row per dst —
+                                   # exact for deg <= P, seeded random
+                                   # P-subset truncation above. Requires
+                                   # P >= max(fanouts); excludes
+                                   # shard_topology
     stage_transport: str = "auto"  # miss-row encoding across the host
                                    # link for staged fused windows:
                                    # float32 | bfloat16 | int8; auto =
@@ -92,6 +99,10 @@ class ShardedResidentTrainer:
         num_nodes = self.graph.num_nodes
         hetero = getattr(self.graph, "edge_types", None) is not None
         if self.shard_topology and n_dev_mesh > 1:
+            if self.nbr_cap is not None:
+                raise ValueError("nbr_cap (padded neighbor table) does not "
+                                 "combine with shard_topology — the table "
+                                 "layout is single-replica")
             from coala_gnn_tpu.sampling.sharded_topology import (
                 put_sharded_topology, sample_blocks_sharded)
             g = put_sharded_topology(self.graph, mesh)
@@ -101,7 +112,12 @@ class ShardedResidentTrainer:
                 return sample_blocks_sharded(g, num_nodes, seeds, fanouts,
                                              B, key, n_dev_mesh)
         else:
-            g = to_device_graph(self.graph)
+            if self.nbr_cap is not None and self.nbr_cap < max(fanouts):
+                raise ValueError(
+                    f"nbr_cap={self.nbr_cap} < max fanout {max(fanouts)}: "
+                    "the padded row could not honor the take-all-in-order "
+                    "slot semantics for deg <= fanout")
+            g = to_device_graph(self.graph, nbr_cap=self.nbr_cap)
             g_specs = jax.tree.map(lambda _: P(), g)
 
             def sample_fn(g, seeds, key):

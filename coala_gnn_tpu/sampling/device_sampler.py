@@ -41,6 +41,15 @@ class DeviceGraph(NamedTuple):
     indptr: jax.Array    # int32/uint32 [num_nodes + 2]
     indices: jax.Array   # int32 [num_edges]
     edge_types: Optional[jax.Array] = None  # int32 [num_edges] (hetero)
+    # Optional padded-neighbor-table layout (to_device_graph nbr_cap=P):
+    # row i holds node i's first min(deg, P) neighbors (a seeded random
+    # P-subset when deg > P), plus a trailing sentinel row. Sampling then
+    # reads one aligned [P]-row per dst instead of 2 indptr entries + F
+    # scattered element reads of `indices` — the layout the sampling
+    # micro-profile (examples/profile_sampling.py) measures against CSR.
+    nbr_table: Optional[jax.Array] = None   # int32 [num_nodes + 1, P]
+    nbr_deg: Optional[jax.Array] = None     # int32 [num_nodes + 1], min(deg, P)
+    rel_table: Optional[jax.Array] = None   # int32 [num_nodes + 1, P] (hetero)
 
     @property
     def num_nodes(self) -> int:
@@ -55,11 +64,23 @@ def fits_device_graph(num_nodes: int, num_edges: int) -> bool:
             and num_edges <= np.iinfo(np.uint32).max)
 
 
-def to_device_graph(graph, force_wide_offsets: bool = False) -> DeviceGraph:
+def to_device_graph(graph, force_wide_offsets: bool = False,
+                    nbr_cap: Optional[int] = None,
+                    nbr_seed: int = 0) -> DeviceGraph:
     """Host CSCGraph -> device-resident DeviceGraph. Edge offsets (indptr)
     use int32 when they fit and promote to uint32 past 2^31-1 edges;
     force_wide_offsets exercises the large-graph layout on small inputs
-    (tests)."""
+    (tests).
+
+    ``nbr_cap=P`` additionally builds the padded-neighbor-table layout
+    ([N+1, P] dense rows + effective degrees): sampling reads one aligned
+    row per dst instead of the 2-level indptr/indices gather. Sampling is
+    BIT-IDENTICAL to the CSR path for nodes with deg <= P (the table row
+    stores neighbors in CSR order and the same offset draw applies); nodes
+    with deg > P sample uniformly from a seeded random P-subset (chosen
+    once here, without replacement) — a bounded-degree truncation akin to
+    DGL's neighbor cap. Costs (N+1) * P * 4 bytes of HBM per replica (x2
+    for hetero rel tables)."""
     from coala_gnn_tpu.cache.feature_cache import assert_ids_fit_int32
 
     assert_ids_fit_int32(graph.num_nodes)
@@ -73,11 +94,45 @@ def to_device_graph(graph, force_wide_offsets: bool = False) -> DeviceGraph:
     off_dtype = (jnp.uint32 if force_wide_offsets
                  or pad[-1] > np.iinfo(np.int32).max else jnp.int32)
     et = getattr(graph, "edge_types", None)
+    nbr_table = nbr_deg = rel_table = None
+    if nbr_cap is not None:
+        if nbr_cap < 1:
+            raise ValueError("nbr_cap must be >= 1")
+        N, P_ = graph.num_nodes, int(nbr_cap)
+        indices_np = np.asarray(graph.indices, dtype=np.int64)
+        deg = np.diff(indptr)                              # true degree [N]
+        tbl = np.empty((N + 1, P_), np.int32)
+        deg_eff = np.minimum(deg, P_).astype(np.int32)
+        if indices_np.size:
+            col = np.arange(P_, dtype=np.int64)
+            # slot j of row i = neighbor (j mod deg_i) — CSR order, so
+            # offset draws < deg_eff hit exactly the CSR neighbor
+            pos = indptr[:-1, None] + col[None, :] % np.maximum(deg, 1)[:, None]
+            pos = np.where(deg[:, None] > 0, pos, 0)
+            # deg > P rows: one seeded random P-subset (no replacement)
+            rng = np.random.default_rng(nbr_seed)
+            for i in np.flatnonzero(deg > P_):
+                pos[i] = indptr[i] + rng.choice(deg[i], P_, replace=False)
+            tbl[:-1] = np.where(deg[:, None] > 0, indices_np[pos],
+                                np.arange(N, dtype=np.int64)[:, None])
+            if et is not None:
+                rel = np.empty((N + 1, P_), np.int32)
+                rel[:-1] = np.where(deg[:, None] > 0,
+                                    np.asarray(et, np.int64)[pos], 0)
+                rel[-1] = 0
+                rel_table = jnp.asarray(rel)
+        else:
+            tbl[:-1] = np.arange(N, dtype=np.int32)[:, None]
+        tbl[-1] = N                                        # sentinel row
+        nbr_table = jnp.asarray(tbl)
+        nbr_deg = jnp.asarray(np.concatenate(
+            [deg_eff, np.zeros(1, np.int32)]))
     return DeviceGraph(
         indptr=jnp.asarray(pad, off_dtype),
         indices=jnp.asarray(np.asarray(graph.indices), jnp.int32),
         edge_types=None if et is None else jnp.asarray(np.asarray(et),
-                                                       jnp.int32))
+                                                       jnp.int32),
+        nbr_table=nbr_table, nbr_deg=nbr_deg, rel_table=rel_table)
 
 
 def _sample_layer(g: DeviceGraph, dst: jax.Array, fanout: int,
@@ -86,11 +141,32 @@ def _sample_layer(g: DeviceGraph, dst: jax.Array, fanout: int,
     """One layer: (nbr int32 [n, fanout], mask f32 [n, fanout], rel or None).
     Same slot semantics as the host sampler: deg<=f takes all in order,
     deg>f draws uniformly with replacement; masked slots point at dst.
-    Hetero graphs (g.edge_types set) also gather the chosen edges' types."""
+    Hetero graphs (g.edge_types set) also gather the chosen edges' types.
+
+    With the padded-table layout (g.nbr_table set) the same offset draw
+    indexes dense [P]-rows: one contiguous row gather + a row-local
+    take_along_axis replaces the indptr reads + scattered element gather —
+    bit-identical results for deg <= P (table rows are in CSR order)."""
     n = dst.shape[0]
+    k = jnp.arange(fanout, dtype=jnp.int32)[None, :]
+    if g.nbr_table is not None:
+        deg = g.nbr_deg[dst]             # effective degree min(deg, P)
+        mask = k < jnp.minimum(deg, fanout)[:, None]
+        rand = jax.random.uniform(key, (n, fanout))
+        rand_off = (rand * jnp.maximum(deg, 1)[:, None]).astype(jnp.int32)
+        seq_off = jnp.minimum(k, jnp.maximum(deg[:, None] - 1, 0))
+        offsets = jnp.where(deg[:, None] <= fanout, seq_off, rand_off)
+        rows = g.nbr_table[dst]                        # [n, P] row gather
+        nbr = jnp.take_along_axis(rows, offsets, axis=1)
+        nbr = jnp.where(mask, nbr, dst[:, None])
+        rel = None
+        if g.rel_table is not None:
+            rel = jnp.where(
+                mask, jnp.take_along_axis(g.rel_table[dst], offsets, axis=1),
+                0)
+        return nbr, mask.astype(jnp.float32), rel
     starts = g.indptr[dst]               # int32 or uint32 (wide offsets)
     deg = (g.indptr[dst + 1] - starts).astype(jnp.int32)
-    k = jnp.arange(fanout, dtype=jnp.int32)[None, :]
     mask = k < jnp.minimum(deg, fanout)[:, None]
 
     rand = jax.random.uniform(key, (n, fanout))

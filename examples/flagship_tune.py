@@ -49,31 +49,42 @@ def main(argv=None):
     ds = synthetic_graph(num_nodes=args.nodes, avg_degree=15,
                          feature_dim=args.dim, num_classes=16, seed=0)
 
-    # (tag, bf16 features, quantize lines, model_dtype, scan_unroll, window)
+    # (tag, bf16 features, quantize lines, model_dtype, scan_unroll,
+    #  window, nbr_cap) — nbr_cap=32 switches sampling to the padded
+    # neighbor-table layout (one aligned [32]-row read per dst instead of
+    # indptr + scattered indices element reads; bit-exact for deg <= 32,
+    # which at avg_degree 15 covers all but ~1e-5 of the nodes)
     grid = [
-        ("f32_unroll1", False, False, "float32", 1, None),
-        ("f32_unroll4", False, False, "float32", 4, None),
-        ("f32_unroll8", False, False, "float32", 8, None),
-        ("f32_unroll4_K32", False, False, "float32", 4, 32),
-        ("bf16_unroll4", True, False, "bfloat16", 4, None),
-        ("bf16_unroll4_K32", True, False, "bfloat16", 4, 32),
-        ("int8_f32model_unroll4", False, True, "float32", 4, None),
-        ("int8_bf16model_unroll4", False, True, "bfloat16", 4, None),
-        ("int8_bf16model_unroll8", False, True, "bfloat16", 8, None),
-        ("int8_bf16model_unroll4_K32", False, True, "bfloat16", 4, 32),
+        ("f32_unroll1", False, False, "float32", 1, None, None),
+        ("f32_unroll4", False, False, "float32", 4, None, None),
+        ("f32_unroll8", False, False, "float32", 8, None, None),
+        ("f32_unroll4_K32", False, False, "float32", 4, 32, None),
+        ("f32_unroll1_P32", False, False, "float32", 1, None, 32),
+        ("f32_unroll4_P32", False, False, "float32", 4, None, 32),
+        ("bf16_unroll4", True, False, "bfloat16", 4, None, None),
+        ("bf16_unroll4_K32", True, False, "bfloat16", 4, 32, None),
+        ("bf16_unroll4_P32", True, False, "bfloat16", 4, None, 32),
+        ("int8_f32model_unroll4", False, True, "float32", 4, None, None),
+        ("int8_bf16model_unroll4", False, True, "bfloat16", 4, None, None),
+        ("int8_bf16model_unroll8", False, True, "bfloat16", 8, None, None),
+        ("int8_bf16model_unroll4_K32", False, True, "bfloat16", 4, 32,
+         None),
+        ("int8_bf16model_unroll4_P32", False, True, "bfloat16", 4, None,
+         32),
     ]
     rows = {}
-    for tag, bf16, quant, mdt, unroll, win in grid:
+    for tag, bf16, quant, mdt, unroll, win, ncap in grid:
         r = bench.run_resident(ds, args.batch, fanouts, args.dim,
                                args.hidden, args.cache_mb, bf16,
                                args.warmup, args.steps, tag=f"tune-{tag}",
                                quantize=quant, model_dtype=mdt,
-                               scan_unroll=unroll, window=win)
+                               scan_unroll=unroll, window=win,
+                               nbr_cap=ncap)
         rows[tag] = {"value": r["value"], "unit": r["unit"],
                      "cache_hit_ratio": r["cache_hit_ratio"],
                      "config": {"bf16_features": bf16, "int8_lines": quant,
                                 "model_dtype": mdt, "scan_unroll": unroll,
-                                "window": win}}
+                                "window": win, "nbr_cap": ncap}}
         print(f"tune {tag}: {r['value']:,.0f} edges/s", file=sys.stderr,
               flush=True)
 

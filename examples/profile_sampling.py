@@ -70,6 +70,16 @@ def main():
             nbr = tbl[dst[:, None], off]
             mask = jnp.ones((n, fanout), jnp.float32)
             return nbr, mask
+        if mode == "padded_rowgather":
+            # the production padded-table form (device_sampler nbr_cap):
+            # one contiguous [P]-row gather per dst + row-local
+            # take_along_axis
+            bits = jax.random.bits(key, (n, fanout), jnp.uint32)
+            off = (bits % jnp.uint32(P_TBL)).astype(jnp.int32)
+            rows = tbl[dst]
+            nbr = jnp.take_along_axis(rows, off, axis=1)
+            mask = jnp.ones((n, fanout), jnp.float32)
+            return nbr, mask
         if mode == "no_indptr":
             starts = dst.astype(jnp.int32) * 0
             deg = jnp.full((n,), fanout, jnp.int32)
@@ -128,7 +138,7 @@ def main():
                for w in range(N_WINDOWS)]
 
     for mode in ("full", "bits_mod", "no_rng", "no_gather", "no_indptr",
-                 "padded_table"):
+                 "padded_table", "padded_rowgather"):
         fn = make_fn(mode)
         out = None
         t0 = None

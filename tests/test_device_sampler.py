@@ -162,6 +162,93 @@ def test_wide_offset_layout_matches_int32(small_dataset):
                                           np.asarray(bw[l].mask))
 
 
+def test_padded_table_bit_parity(small_dataset):
+    """nbr_cap >= max degree: the padded-table layout must sample
+    BIT-IDENTICALLY to the CSR layout (same key -> same offset draw ->
+    same neighbor), in both dedup modes."""
+    ds = small_dataset
+    g = to_device_graph(ds.graph)
+    maxdeg = int(ds.graph.in_degrees().max())
+    P_ = 1 << (maxdeg - 1).bit_length()
+    gp = to_device_graph(ds.graph, nbr_cap=P_)
+    assert gp.nbr_table.shape == (ds.graph.num_nodes + 1, P_)
+    np.testing.assert_array_equal(
+        np.asarray(gp.nbr_deg[:-1]), ds.graph.in_degrees().astype(np.int32))
+
+    seeds = jnp.asarray(ds.train_idx[:32].astype(np.int32))
+    key = jax.random.key(11)
+    for dedup in (False, True):
+        b0, ids0, num0 = sample_blocks_device(g, seeds, [3, 2], 32, key,
+                                              dedup=dedup)
+        b1, ids1, num1 = sample_blocks_device(gp, seeds, [3, 2], 32, key,
+                                              dedup=dedup)
+        np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
+        assert int(num0) == int(num1)
+        for l in range(2):
+            np.testing.assert_array_equal(np.asarray(b0[l].mask),
+                                          np.asarray(b1[l].mask))
+            if b0[l].adj is not None:
+                np.testing.assert_array_equal(np.asarray(b0[l].adj),
+                                              np.asarray(b1[l].adj))
+
+
+def test_padded_table_hetero_rel_parity():
+    """Typed graphs: the padded rel table must return the same edge types
+    as the CSR edge_types gather."""
+    from coala_gnn_tpu.graph.datasets import synthetic_graph
+
+    ds = synthetic_graph(num_nodes=600, avg_degree=6, feature_dim=8,
+                         num_classes=4, seed=3)
+    rng = np.random.default_rng(4)
+    ds.graph.edge_types = rng.integers(0, 3,
+                                       ds.graph.num_edges).astype(np.int32)
+    ds.graph.num_edge_types = 3
+    maxdeg = int(ds.graph.in_degrees().max())
+    g = to_device_graph(ds.graph)
+    gp = to_device_graph(ds.graph, nbr_cap=1 << (maxdeg - 1).bit_length())
+    seeds = jnp.asarray(ds.train_idx[:16].astype(np.int32))
+    key = jax.random.key(5)
+    b0, ids0, _ = sample_blocks_device(g, seeds, [4, 3], 16, key,
+                                       dedup=False)
+    b1, ids1, _ = sample_blocks_device(gp, seeds, [4, 3], 16, key,
+                                       dedup=False)
+    np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
+    for l in range(2):
+        np.testing.assert_array_equal(np.asarray(b0[l].rel),
+                                      np.asarray(b1[l].rel))
+
+
+def test_padded_table_truncation_subset(small_dataset):
+    """deg > nbr_cap: the stored row is a P-subset of the true neighbor
+    list without replacement, and sampling only ever returns stored
+    entries (bounded-degree truncation semantics)."""
+    from coala_gnn_tpu.sampling.device_sampler import _sample_layer
+
+    ds = small_dataset
+    P_, fanout = 4, 3
+    gp = to_device_graph(ds.graph, nbr_cap=P_, nbr_seed=3)
+    deg = ds.graph.in_degrees()
+    dsts = np.argsort(deg)[-8:]
+    assert (deg[dsts] > P_).all()
+    tbl = np.asarray(gp.nbr_table)
+    np.testing.assert_array_equal(np.asarray(gp.nbr_deg)[dsts], P_)
+    for v in dsts:
+        # subset drawn over distinct EDGE positions; duplicate ids may
+        # remain (multigraph parallel edges — same semantics as CSR slots)
+        nbrs = ds.graph.in_neighbors(int(v))
+        stored = set(tbl[v].tolist())
+        assert stored <= set(nbrs.tolist())
+        counts = {x: (nbrs == x).sum() for x in stored}
+        assert all((tbl[v] == x).sum() <= c for x, c in counts.items())
+
+    nbr, mask, _ = _sample_layer(gp, jnp.asarray(dsts.astype(np.int32)),
+                                 fanout, jax.random.key(0))
+    nbr, mask = np.asarray(nbr), np.asarray(mask)
+    assert (mask == 1.0).all()                       # deg_eff > fanout
+    for i, v in enumerate(dsts):
+        assert set(nbr[i].tolist()) <= set(tbl[v].tolist())
+
+
 def test_fits_device_graph_gate():
     from coala_gnn_tpu.sampling.device_sampler import fits_device_graph
 

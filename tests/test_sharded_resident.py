@@ -84,6 +84,63 @@ def test_sharded_resident_trains_and_hits(setup):
     assert s["hits"] > 0      # sharded cache serves repeat requests
 
 
+def test_sharded_resident_padded_topology_trains(setup):
+    """nbr_cap (padded neighbor table): the resident pipeline samples from
+    dense [P]-rows — features stay exact against the host store and
+    training converges. nbr_cap < max(fanout) and nbr_cap+shard_topology
+    are refused."""
+    import jax.numpy as jnp
+    import optax
+
+    ds, store, _, model, mesh = setup
+    n_dev = mesh.devices.size
+    cfg = fc.CacheConfig(num_sets=64, ways=fc.WAYS, dim=32,
+                         cache_dim=fc.round_cache_dim(32), num_colors=0,
+                         num_shards=n_dev)
+    cache = ShardedFeatureCache(cfg=cfg, mesh=mesh, mode="sharded")
+    rt = ShardedResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                                labels=ds.labels, cache=cache, model=model,
+                                tx=optax.adam(1e-2), fanouts=[4, 3],
+                                batch_size=16, nbr_cap=8)
+    rng = np.random.default_rng(3)
+    params = opt = None
+    losses = []
+    for i in range(6):
+        grid = _seed_grid(ds, rng, n_dev, 16)
+        h = rt.begin(grid, jax.random.key(i))
+        resolved = rt.resolve(h)
+        ids, valid = np.asarray(h[1]), np.asarray(h[2])
+        feats_np = np.asarray(resolved[1])
+        for d in range(n_dev):
+            np.testing.assert_allclose(
+                feats_np[d][valid[d]], ds.features[ids[d][valid[d]]],
+                rtol=1e-5, atol=1e-6)
+        if params is None:
+            blocks0 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]),
+                                   resolved[0])
+            params = model.init(jax.random.key(0), blocks0,
+                                jnp.asarray(np.asarray(resolved[1])[0]))
+            opt = rt.tx.init(params)
+        params, opt, loss, acc = rt.train_step(params, opt,
+                                               jax.random.key(50 + i),
+                                               resolved)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    with pytest.raises(ValueError):
+        ShardedResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                               labels=ds.labels, cache=cache, model=model,
+                               tx=optax.adam(1e-2), fanouts=[4, 3],
+                               batch_size=16, nbr_cap=2)
+    with pytest.raises(ValueError):
+        ShardedResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
+                               labels=ds.labels, cache=cache, model=model,
+                               tx=optax.adam(1e-2), fanouts=[4, 3],
+                               batch_size=16, nbr_cap=8,
+                               shard_topology=True)
+
+
 def test_sharded_resident_masked_tail_exactness(setup):
     """The resident masked DP step (--mask_tail's tail route) zeroes
     invalid slots' contribution exactly: (a) the update is invariant to
