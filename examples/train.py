@@ -196,7 +196,33 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
     def agg_total():
         return sum(rt.timers.totals.get(p, 0.0) for p in AGG_PHASES)
 
-    for epoch in range(args.epochs):
+    start_epoch = 0
+    if args.resume and args.save_dir:
+        # Probe one batch to build params, restore, then restart the
+        # scheduler at the resumed epoch (the consumed probe iteration
+        # must not count — mirror of the host path's loader.reset).
+        from coala_gnn_tpu.utils import checkpoint as ckpt
+        key, k0 = jax.random.split(key)
+        params, opt_state = init_params(rt.resolve(rt.begin(seed_grid(),
+                                                            k0)))
+        like = {"params": params, "opt_state": opt_state, "step": 0}
+        restored = ckpt.restore(args.save_dir, like)
+        if restored is not None:
+            params, opt_state, step0 = restored
+            # restored arrays land committed to one device; the DP step
+            # expects them replicated over the mesh
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(rt.mesh, PartitionSpec())
+            params, opt_state = jax.tree.map(
+                lambda a: jax.device_put(np.asarray(a), rep),
+                (params, opt_state))
+            start_epoch = min(step0 // max(steps_per_epoch, 1), args.epochs)
+            print(f"resumed from step {step0} -> starting at epoch "
+                  f"{start_epoch}")
+        scheduler.reset(args.seed + start_epoch if start_epoch else
+                        args.seed)
+
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
         agg0 = agg_total()
         loss = acc = None
@@ -258,6 +284,11 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
         print(f"Cache hit ratio: {s['hit_ratio']:.3f} "
               f"({s['hits']} hits / {s['misses']} misses)")
         scheduler.reset(args.seed + epoch + 1)
+        if args.save_dir:
+            from coala_gnn_tpu.utils import checkpoint as ckpt
+            ckpt.save(args.save_dir, params, opt_state,
+                      step=(epoch + 1) * steps_per_epoch)
+            print(f"checkpoint saved to {args.save_dir}")
 
     if args.eval:
         from coala_gnn_tpu.distribution import (
@@ -498,6 +529,13 @@ def main(argv=None):
         restored = ckpt.restore(args.save_dir, like)
         if restored is not None:
             params, opt_state, step0 = restored
+            # restored arrays land committed to one device; the DP step
+            # expects them replicated over the mesh
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(mesh, PartitionSpec())
+            params, opt_state = jax.tree.map(
+                lambda a: jax.device_put(np.asarray(a), rep),
+                (params, opt_state))
             start_epoch = min(step0 // max(steps_per_epoch, 1), args.epochs)
             print(f"resumed from step {step0} -> starting at epoch "
                   f"{start_epoch}")

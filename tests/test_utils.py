@@ -39,6 +39,43 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(p2["w"]), np.asarray(params["w"]))
 
 
+def test_checkpoint_restore_feeds_mesh_step(tmp_path):
+    """Restored arrays land committed to ONE device; a DP shard_map step
+    over the mesh must still accept them after the trainer-side
+    re-replication (the --resume path in examples/train.py). Regression:
+    passing the restored tree straight into the sharded step raised
+    'incompatible devices'."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from coala_gnn_tpu.parallel.mesh import make_mesh, DATA_AXIS
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    params = {"w": jnp.arange(8.0).reshape(2, 4)}
+    tx = optax.adam(1e-3)
+    ckpt.save(str(tmp_path), params, tx.init(params), step=3)
+    like = {"params": jax.tree.map(np.zeros_like, params),
+            "opt_state": jax.tree.map(np.zeros_like, tx.init(params)),
+            "step": 0}
+    p2, o2, step = ckpt.restore(str(tmp_path), like)
+    rep = NamedSharding(mesh, P())
+    p2, o2 = jax.tree.map(lambda a: jax.device_put(np.asarray(a), rep),
+                          (p2, o2))
+
+    @jax.jit
+    def step_fn(params, x):
+        def local(params, x):
+            return jax.lax.pmean((x[0] @ params["w"].T).sum(), DATA_AXIS)
+        from jax import shard_map
+        pspec = jax.tree.map(lambda _: P(), params)
+        return shard_map(local, mesh=mesh, in_specs=(pspec, P(DATA_AXIS)),
+                         out_specs=P())(params, x)
+
+    x = jax.device_put(np.ones((n_dev, 3, 4), np.float32),
+                       NamedSharding(mesh, P(DATA_AXIS)))
+    out = step_fn(p2, x)
+    assert np.isfinite(float(out))
+
+
 def test_meta_exchange_single_process():
     n_hosts, host, local = topology()
     assert n_hosts == 1 and host == 0 and local == 8
