@@ -94,6 +94,14 @@ def parse_args(argv=None):
                         "mesh (E/n_dev edges per device; papers100M-class "
                         "graphs) instead of replicating them; frontier "
                         "neighbors route via all_gather + psum_scatter")
+    p.add_argument("--nbr_cap", type=int, default=0,
+                   help="resident pipeline: padded-neighbor-table topology "
+                        "layout with P=nbr_cap slots per node (one aligned "
+                        "row read per dst instead of indptr + scattered "
+                        "indices gathers; bit-exact sampling for deg <= P, "
+                        "seeded random P-subset truncation above). 0 = CSR "
+                        "layout. Requires nbr_cap >= max fanout; excludes "
+                        "--shard_topology")
     p.add_argument("--distribution", type=str, default="baseline",
                    choices=["baseline", "node_color"])
     p.add_argument("--refresh_counter", type=int, default=8)
@@ -141,9 +149,11 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
         graph=ds.graph, host_fetch=store.fetch, labels=ds.labels,
         cache=cache, model=model, tx=tx, fanouts=fanouts, batch_size=B,
         colors=None if meta is None else meta.color,
-        shard_topology=bool(getattr(args, "shard_topology", False)))
+        shard_topology=bool(getattr(args, "shard_topology", False)),
+        nbr_cap=getattr(args, "nbr_cap", 0) or None)
     print("pipeline: device-resident (seeds-only upload"
-          + (", sharded topology)" if rt.shard_topology else ")"))
+          + (", sharded topology)" if rt.shard_topology else
+             f", padded table P={rt.nbr_cap})" if rt.nbr_cap else ")"))
 
     key = jax.random.key(args.seed)
     params = opt_state = None
