@@ -120,3 +120,47 @@ def test_resident_pipeline_training_run_matches_dense_reference():
     pred_dense = np.asarray(
         dense_forward(p_d, jnp.asarray(ds.test_idx))).argmax(-1)
     assert (pred_pipe == pred_dense).mean() > 0.99
+
+
+def test_padded_table_pipeline_trajectory_bit_identical():
+    """nbr_cap >= max in-degree: the padded-table pipeline must reproduce
+    the CSR pipeline's ENTIRE training trajectory bit-for-bit (same keys
+    -> same offset draws -> same neighbors; stricter than allclose)."""
+    B, K, M = 16, 4, 2
+    ds = synthetic_graph(num_nodes=250, avg_degree=4, feature_dim=8,
+                         num_classes=4, seed=5)
+    g = ds.graph
+    max_deg = int(g.in_degrees().max())
+    fanouts = [3, 3]
+    store = HostFeatureStore(ds.features)
+    cfg = fc.CacheConfig(num_sets=4, ways=fc.WAYS, dim=8,
+                         cache_dim=fc.round_cache_dim(8), num_colors=0)
+    model = make_model("sage", hidden=8, num_classes=4, num_layers=2,
+                       dropout=0.0)
+    tx = optax.adam(1e-2)
+    caps = block_capacities(B, fanouts)
+    blocks0 = [DeviceBlock(adj=None, mask=jnp.ones((caps[l][0], fanouts[l]),
+                                                   jnp.float32))
+               for l in range(2)]
+    params0 = model.init(jax.random.key(0), blocks0,
+                         jnp.zeros((caps[0][1], 8), jnp.float32))
+    rng = np.random.default_rng(3)
+    grids = np.stack([np.stack([rng.choice(ds.train_idx, B, replace=False)
+                                for _ in range(K)])
+                      for _ in range(M)]).astype(np.int32)
+
+    def run(nbr_cap):
+        rt = ResidentTrainer(graph=g, host_fetch=store.fetch,
+                             labels=ds.labels, cache_cfg=cfg, model=model,
+                             tx=tx, fanouts=fanouts, batch_size=B,
+                             stage_transport="float32", nbr_cap=nbr_cap)
+        params, opt = params0, tx.init(params0)
+        params, opt, losses, _ = rt.train_windows(params, opt, grids,
+                                                  jax.random.key(7))
+        return np.asarray(losses), params
+
+    l_csr, p_csr = run(None)
+    l_pad, p_pad = run(1 << (max_deg - 1).bit_length())
+    np.testing.assert_array_equal(l_csr, l_pad)
+    for a, b in zip(jax.tree.leaves(p_csr), jax.tree.leaves(p_pad)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
