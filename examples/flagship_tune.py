@@ -25,6 +25,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+_GRID_LEN = 14   # set from the grid in main(); used for the complete flag
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
@@ -72,6 +74,8 @@ def main(argv=None):
         ("int8_bf16model_unroll4_P32", False, True, "bfloat16", 4, None,
          32),
     ]
+    global _GRID_LEN
+    _GRID_LEN = len(grid)
     rows = {}
     for tag, bf16, quant, mdt, unroll, win, ncap in grid:
         r = bench.run_resident(ds, args.batch, fanouts, args.dim,
@@ -87,19 +91,29 @@ def main(argv=None):
                                 "window": win, "nbr_cap": ncap}}
         print(f"tune {tag}: {r['value']:,.0f} edges/s", file=sys.stderr,
               flush=True)
+        # incremental write: a timeout-killed run still leaves every
+        # measured row (the suite clamps stage timeouts to its deadline)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(json.dumps(_artifact(args, fanouts, rows), indent=1))
 
-    best = max(rows, key=lambda k: rows[k]["value"])
-    art = {"config": {"nodes": args.nodes, "dim": args.dim,
-                      "batch": args.batch, "fanout": fanouts,
-                      "cache_mb": args.cache_mb, "steps": args.steps},
-           "rows": rows, "best": best,
-           "best_edges_per_s": rows[best]["value"]}
+    art = _artifact(args, fanouts, rows)
     txt = json.dumps(art, indent=1)
     print(txt)
     if args.out:
         with open(args.out, "w") as f:
             f.write(txt)
     return art
+
+
+def _artifact(args, fanouts, rows):
+    best = max(rows, key=lambda k: rows[k]["value"])
+    return {"config": {"nodes": args.nodes, "dim": args.dim,
+                       "batch": args.batch, "fanout": fanouts,
+                       "cache_mb": args.cache_mb, "steps": args.steps},
+            "rows": rows, "best": best,
+            "best_edges_per_s": rows[best]["value"],
+            "complete": len(rows) == _GRID_LEN}
 
 
 if __name__ == "__main__":

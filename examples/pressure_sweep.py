@@ -83,8 +83,20 @@ def main(argv=None):
             "vs_uncached_min": round(float(vals.min()) / base, 2),
         })
         print(f"sweep {mb} MB: {points[-1]}", file=sys.stderr, flush=True)
+        if args.out:   # incremental: a timeout-killed run keeps its points
+            with open(args.out, "w") as f:
+                f.write(json.dumps(_artifact(args, fanouts, base, points),
+                                   indent=1))
 
-    art = {
+    txt = json.dumps(_artifact(args, fanouts, base, points), indent=1)
+    print(txt)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(txt)
+
+
+def _artifact(args, fanouts, base, points):
+    return {
         "config": {"nodes": args.nodes, "dim": args.dim, "batch": args.batch,
                    "fanout": fanouts, "window": args.window,
                    "stage_transport": args.stage_transport,
@@ -92,14 +104,10 @@ def main(argv=None):
                    "steps_per_run": args.steps,
                    "uncached_self_baseline_edges_per_s": base},
         "points": points,
+        "complete": len(points) == len(args.cache_mbs.split(",")),
         "note": "tunnel-transfer-bound regimes vary +-2-3x run to run; "
                 "judge claims on min/max spread, not single runs",
     }
-    txt = json.dumps(art, indent=1)
-    print(txt)
-    if args.out:
-        with open(args.out, "w") as f:
-            f.write(txt)
 
 
 if __name__ == "__main__":
