@@ -105,7 +105,7 @@ def main():
         nbr = jnp.where(mask, nbr, dst[:, None])
         return nbr, mask.astype(jnp.float32)
 
-    def make_fn(mode):
+    def make_fn(mode, impl=None):
         def one(seeds, key):
             dst = seeds.astype(jnp.int32)
             total = jnp.float32(0)
@@ -126,7 +126,7 @@ def main():
         def window(seeds_grid, keys):
             def body(carry, inp):
                 seeds, kd = inp
-                ids, tot = one(seeds, jax.random.wrap_key_data(kd))
+                ids, tot = one(seeds, jax.random.wrap_key_data(kd, impl=impl))
                 return carry + tot + ids.sum().astype(jnp.float32) * 1e-9, tot
             return jax.lax.scan(body, jnp.float32(0), (seeds_grid, keys))
 
@@ -136,20 +136,29 @@ def main():
              for _ in range(N_WINDOWS)]
     keysets = [jax.random.key_data(jax.random.split(jax.random.key(w), K))
                for w in range(N_WINDOWS)]
+    # rbg: XLA's hardware-friendly counter PRNG — isolates how much of the
+    # sampling step is threefry key-derivation + bit generation cost
+    keysets_rbg = [
+        jax.random.key_data(jax.random.split(
+            jax.random.key(w, impl="rbg"), K)) for w in range(N_WINDOWS)]
 
-    for mode in ("full", "bits_mod", "no_rng", "no_gather", "no_indptr",
-                 "padded_table", "padded_rowgather"):
-        fn = make_fn(mode)
+    for mode, impl in (("full", None), ("full_rbg", "rbg"),
+                       ("bits_mod", None), ("no_rng", None),
+                       ("no_gather", None), ("no_indptr", None),
+                       ("padded_table", None), ("padded_rowgather", None),
+                       ("padded_rowgather_rbg", "rbg")):
+        fn = make_fn(mode.replace("_rbg", ""), impl=impl)
+        ks = keysets_rbg if impl == "rbg" else keysets
         out = None
         t0 = None
         for w in range(N_WINDOWS):
-            out, _ = fn(grids[w], keysets[w])
+            out, _ = fn(grids[w], ks[w])
             if w == 1:
                 float(out)
                 t0 = time.perf_counter()
         float(out)
         dt = time.perf_counter() - t0
-        print(f"{mode:12s}: {dt / ((N_WINDOWS - 2) * K) * 1e3:6.3f} ms/step",
+        print(f"{mode:20s}: {dt / ((N_WINDOWS - 2) * K) * 1e3:6.3f} ms/step",
               flush=True)
 
 
