@@ -59,7 +59,7 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
                  prewarm_frac=1.0, tag="resident", quantize=None,
                  priorities=None, stage_transport="auto", window=None,
                  model_dtype=None, model_type="sage", scan_unroll=None,
-                 nbr_cap=None):
+                 nbr_cap=None, rng_impl=None):
     """Device-resident mode: topology in HBM, sampling+probe in jit; host
     uploads only seeds (~4 KB/step). prewarm_frac < 1 leaves the cache
     under capacity pressure (the regime COALA exists for): only the
@@ -124,7 +124,13 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
     # every cold row once" lower bound
     K = window if window else int(os.environ.get("BENCH_WINDOW", 8))
     rng = np.random.default_rng(0)
-    key = jax.random.key(0)
+    if rng_impl is None:
+        # sampler PRNG family ("" = threefry default; "rbg" lowers to the
+        # XLA RngBitGenerator HLO — different stream, same distribution;
+        # adopted via the tuning artifact like scan_unroll, utils/rng.py)
+        rng_impl = os.environ.get("BENCH_RNG_IMPL", "")
+    key = (jax.random.key(0, impl=rng_impl) if rng_impl
+           else jax.random.key(0))
 
     def seeds_one():
         return rng.choice(ds.train_idx, B, replace=False).astype(np.int32)
@@ -464,15 +470,20 @@ def main():
 
     # adopt tuned headline knobs when the on-chip tuning artifact exists
     # (examples/flagship_tune.py): best f32-lines row's scan_unroll/window.
-    # Every grid variant is exactness-pinned (test_training_parity), so
-    # this only moves schedule knobs, never semantics. Env overrides win.
+    # Schedule knobs (unroll/window) are exactness-pinned
+    # (test_training_parity); nbr_cap and rng_impl keep the sampling
+    # DISTRIBUTION (padded-table is bit-exact for deg <= cap; rbg draws a
+    # different stream of the same law — parity tests pin the threefry
+    # default). Env overrides win.
     tuned_unroll = tuned_window = tuned_nbr_cap = None
+    tuned_rng_impl = None
     tuned_best = None
     tune_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "FLAGSHIP_TUNE_r04.json")
     if os.path.exists(tune_path) and "BENCH_SCAN_UNROLL" not in os.environ \
             and "BENCH_WINDOW" not in os.environ \
-            and "BENCH_NBR_CAP" not in os.environ:
+            and "BENCH_NBR_CAP" not in os.environ \
+            and "BENCH_RNG_IMPL" not in os.environ:
         try:
             with open(tune_path) as f:
                 tune = json.load(f)
@@ -484,9 +495,10 @@ def main():
                 tuned_unroll = best["config"]["scan_unroll"]
                 tuned_window = best["config"].get("window")
                 tuned_nbr_cap = best["config"].get("nbr_cap")
+                tuned_rng_impl = best["config"].get("rng_impl")
                 log(f"bench: tuned f32 knobs from {tune_path}: "
                     f"scan_unroll={tuned_unroll} window={tuned_window} "
-                    f"nbr_cap={tuned_nbr_cap}")
+                    f"nbr_cap={tuned_nbr_cap} rng_impl={tuned_rng_impl}")
             if tune.get("best") in tune.get("rows", {}):
                 # carry the grid's overall fastest configuration (may be
                 # int8/bf16 lines — exactness-pinned variants, see
@@ -501,7 +513,8 @@ def main():
     if resident:
         res = run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16,
                            warmup, steps, scan_unroll=tuned_unroll,
-                           window=tuned_window, nbr_cap=tuned_nbr_cap)
+                           window=tuned_window, nbr_cap=tuned_nbr_cap,
+                           rng_impl=tuned_rng_impl)
         if tuned_best is not None:
             res["tuned_best"] = tuned_best
         if int(os.environ.get("BENCH_BF16_BLOCK", 1)) and not bf16:

@@ -40,6 +40,7 @@ from coala_gnn_tpu.sampling.device_sampler import (
 )
 from coala_gnn_tpu.sampling.neighbor import block_capacities
 from coala_gnn_tpu.utils.timers import PhaseTimers
+from coala_gnn_tpu.utils.rng import wrap_key_any
 
 INT32_MAX = np.iinfo(np.int32).max
 
@@ -285,7 +286,7 @@ class ResidentTrainer:
             def body(carry, inp):
                 params, opt_state = carry
                 seeds, k = inp
-                k1, k2 = jax.random.split(jax.random.wrap_key_data(k))
+                k1, k2 = jax.random.split(wrap_key_any(k))
                 blocks, ids, num = sample_blocks_device(g, seeds, fanouts, B,
                                                         k1, dedup=False)
                 valid = ids != sentinel
@@ -328,7 +329,7 @@ class ResidentTrainer:
             def body(carry, inp):
                 params, opt_state = carry
                 seeds, k = inp
-                k1, k2 = jax.random.split(jax.random.wrap_key_data(k))
+                k1, k2 = jax.random.split(wrap_key_any(k))
                 blocks, ids, num = sample_blocks_device(g, seeds, fanouts, B,
                                                         k1, dedup=False)
                 valid = ids != sentinel
@@ -376,7 +377,7 @@ class ResidentTrainer:
         def presample(g, cache, seeds_grid, keys):
             def body(_, inp):
                 seeds, k = inp
-                k1, _ = jax.random.split(jax.random.wrap_key_data(k))
+                k1, _ = jax.random.split(wrap_key_any(k))
                 _, ids, _ = sample_blocks_device(g, seeds, fanouts, B, k1,
                                                  dedup=False)
                 valid = ids != sentinel
@@ -393,7 +394,7 @@ class ResidentTrainer:
         def presample_bitmap(g, cache, seeds_grid, keys):
             def body(bm, inp):
                 seeds, k = inp
-                k1, _ = jax.random.split(jax.random.wrap_key_data(k))
+                k1, _ = jax.random.split(wrap_key_any(k))
                 _, ids, _ = sample_blocks_device(g, seeds, fanouts, B, k1,
                                                  dedup=False)
                 valid = ids != sentinel

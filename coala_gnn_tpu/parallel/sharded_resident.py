@@ -47,6 +47,7 @@ from coala_gnn_tpu.sampling.device_sampler import (
     to_device_graph,
 )
 from coala_gnn_tpu.utils.timers import PhaseTimers
+from coala_gnn_tpu.utils.rng import wrap_key_any
 
 
 @dataclasses.dataclass
@@ -274,7 +275,7 @@ class ShardedResidentTrainer:
             def body(carry, inp):
                 params, opt_state = carry
                 seeds, kdata, opos, orows = inp
-                k = jax.random.wrap_key_data(kdata)
+                k = wrap_key_any(kdata)
                 k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
                 k1, k2 = jax.random.split(k)
                 blocks, ids, num = sample_fn(g, seeds, k1)
@@ -324,7 +325,7 @@ class ShardedResidentTrainer:
 
             def body(_, inp):
                 seeds, kdata = inp
-                k = jax.random.wrap_key_data(kdata)
+                k = wrap_key_any(kdata)
                 k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
                 k1, _ = jax.random.split(k)
                 _, ids, _ = sample_fn(g, seeds, k1)
@@ -362,7 +363,7 @@ class ShardedResidentTrainer:
 
             def body(bm, inp):
                 seeds, kdata = inp
-                k = jax.random.wrap_key_data(kdata)
+                k = wrap_key_any(kdata)
                 k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
                 k1, _ = jax.random.split(k)
                 _, ids, _ = sample_fn(g, seeds, k1)
@@ -401,7 +402,7 @@ class ShardedResidentTrainer:
             def body(carry, inp):
                 params, opt_state = carry
                 seeds, kdata = inp
-                k = jax.random.wrap_key_data(kdata)
+                k = wrap_key_any(kdata)
                 k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
                 k1, k2 = jax.random.split(k)
                 blocks, ids, num = sample_fn(g, seeds, k1)

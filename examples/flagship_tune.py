@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=16)
     p.add_argument("--out", default="")
     p.add_argument("--platform", default="")
+    p.add_argument("--only", default="",
+                   help="regex: run only matching grid tags")
+    p.add_argument("--merge", action="store_true",
+                   help="merge rows into an existing --out artifact")
     args = p.parse_args(argv)
 
     from coala_gnn_tpu.utils.jaxconfig import setup as jax_setup
@@ -73,22 +77,39 @@ def main(argv=None):
          None),
         ("int8_bf16model_unroll4_P32", False, True, "bfloat16", 4, None,
          32),
+        # _rbg rows: sampler PRNG = XLA RngBitGenerator instead of
+        # threefry (utils/rng.py) — different stream, same distribution;
+        # isolates the threefry key-derivation cost profile_sampling.py
+        # measures standalone
+        ("f32_unroll4_P32_rbg", False, False, "float32", 4, None, 32),
+        ("bf16_unroll4_P32_rbg", True, False, "bfloat16", 4, None, 32),
     ]
+    if args.only:
+        import re
+        grid = [g for g in grid if re.search(args.only, g[0])]
     global _GRID_LEN
     _GRID_LEN = len(grid)
+    # supplement mode: merge newly measured rows into an existing artifact
+    # (e.g. rbg rows added after the main grid already ran on-chip)
     rows = {}
+    if args.out and args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            rows = json.load(f).get("rows", {})
+        _GRID_LEN = len(rows) + len([g for g in grid if g[0] not in rows])
     for tag, bf16, quant, mdt, unroll, win, ncap in grid:
+        rng_impl = "rbg" if tag.endswith("_rbg") else ""
         r = bench.run_resident(ds, args.batch, fanouts, args.dim,
                                args.hidden, args.cache_mb, bf16,
                                args.warmup, args.steps, tag=f"tune-{tag}",
                                quantize=quant, model_dtype=mdt,
                                scan_unroll=unroll, window=win,
-                               nbr_cap=ncap)
+                               nbr_cap=ncap, rng_impl=rng_impl)
         rows[tag] = {"value": r["value"], "unit": r["unit"],
                      "cache_hit_ratio": r["cache_hit_ratio"],
                      "config": {"bf16_features": bf16, "int8_lines": quant,
                                 "model_dtype": mdt, "scan_unroll": unroll,
-                                "window": win, "nbr_cap": ncap}}
+                                "window": win, "nbr_cap": ncap,
+                                "rng_impl": rng_impl}}
         print(f"tune {tag}: {r['value']:,.0f} edges/s", file=sys.stderr,
               flush=True)
         # incremental write: a timeout-killed run still leaves every

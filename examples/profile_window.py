@@ -32,6 +32,7 @@ from coala_gnn_tpu.graph.datasets import synthetic_graph
 from coala_gnn_tpu.models import make_model
 from coala_gnn_tpu.parallel.resident import ResidentTrainer
 from coala_gnn_tpu.sampling.device_sampler import sample_blocks_device
+from coala_gnn_tpu.utils.rng import make_root_key, wrap_key_any
 
 B = int(os.environ.get("BENCH_BATCH", 1024))
 FANOUTS = [int(f) for f in os.environ.get("BENCH_FANOUT", "10,5").split(",")]
@@ -41,6 +42,10 @@ NODES = int(os.environ.get("BENCH_NODES", 200_000))
 CACHE_MB = int(os.environ.get("BENCH_CACHE_MB", 1024))
 K = int(os.environ.get("BENCH_WINDOW", 8))
 BF16 = bool(int(os.environ.get("BENCH_BF16", 0)))
+# match the tuned flagship config (flagship_tune.py): padded-table
+# sampling layout + PRNG family
+NBR_CAP = int(os.environ.get("BENCH_NBR_CAP", 0)) or None
+RNG_IMPL = os.environ.get("BENCH_RNG_IMPL", "")
 N_WINDOWS = 8
 
 
@@ -56,7 +61,8 @@ def main():
                        num_layers=len(FANOUTS), dtype=model_dtype)
     rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
                          labels=ds.labels, cache_cfg=cfg, model=model,
-                         tx=optax.adam(1e-3), fanouts=FANOUTS, batch_size=B)
+                         tx=optax.adam(1e-3), fanouts=FANOUTS, batch_size=B,
+                         nbr_cap=NBR_CAP)
     rt.prewarm(np.arange(min(cfg.capacity, NODES), dtype=np.int32))
     g, labels_dev, tx = rt.g, rt.labels_dev, rt.tx
     sentinel = g.num_nodes
@@ -79,7 +85,7 @@ def main():
             def body(carry, inp):
                 cache, params, opt_state, chain = carry
                 seeds, k = inp
-                k1, k2 = jax.random.split(jax.random.wrap_key_data(k))
+                k1, k2 = jax.random.split(wrap_key_any(k))
                 # perturb seeds with chain so nothing hoists out of the scan
                 seeds = jnp.where(seeds == chain.astype(jnp.int32) - 7,
                                   seeds, seeds)
@@ -138,7 +144,7 @@ def main():
                 rng.choice(ds.train_idx, B, replace=False).astype(np.int32)
                 for _ in range(K)]))
             keys = jax.random.key_data(
-                jax.random.split(jax.random.key(w), K))
+                jax.random.split(make_root_key(w, RNG_IMPL), K))
             cache, p_out, o_out, losses = win(
                 g, labels_dev, rt.cache, params, opt_state, seeds_grid, keys)
             if flags[2]:

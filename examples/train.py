@@ -102,6 +102,13 @@ def parse_args(argv=None):
                         "seeded random P-subset truncation above). 0 = CSR "
                         "layout. Requires nbr_cap >= max fanout; excludes "
                         "--shard_topology")
+    p.add_argument("--rng_impl", type=str, default="",
+                   choices=["", "threefry2x32", "rbg"],
+                   help="sampler/dropout PRNG family. '' = JAX default "
+                        "(threefry2x32, the parity-pinned stream); 'rbg' "
+                        "lowers to the XLA RngBitGenerator HLO — cheaper "
+                        "bits on TPU, different stream of the same "
+                        "distribution (utils/rng.py)")
     p.add_argument("--distribution", type=str, default="baseline",
                    choices=["baseline", "node_color"])
     p.add_argument("--refresh_counter", type=int, default=8)
@@ -143,7 +150,7 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
     import time
 
     from coala_gnn_tpu.parallel.sharded_resident import ShardedResidentTrainer
-
+    from coala_gnn_tpu.utils.rng import make_root_key
 
     rt = ShardedResidentTrainer(
         graph=ds.graph, host_fetch=store.fetch, labels=ds.labels,
@@ -155,7 +162,7 @@ def _run_resident(args, ds, meta, cache, store, model, tx, scheduler,
           + (", sharded topology)" if rt.shard_topology else
              f", padded table P={rt.nbr_cap})" if rt.nbr_cap else ")"))
 
-    key = jax.random.key(args.seed)
+    key = make_root_key(args.seed, getattr(args, 'rng_impl', ''))
     params = opt_state = None
     steps_per_epoch = scheduler.d.num_iters
     if args.max_steps:
@@ -433,6 +440,7 @@ def main(argv=None):
     from coala_gnn_tpu.parallel.sharded_cache import ShardedFeatureCache
     from coala_gnn_tpu.parallel.train import (
         make_sharded_eval_step, make_sharded_train_step)
+    from coala_gnn_tpu.utils.rng import make_root_key
 
     store = HostFeatureStore(ds.features)
     cache = None
@@ -515,7 +523,7 @@ def main(argv=None):
 
     train_step = make_sharded_train_step(model, tx, mesh, B,
                                          masked=args.mask_tail)
-    key = jax.random.key(args.seed)
+    key = make_root_key(args.seed, getattr(args, 'rng_impl', ''))
 
     steps_per_epoch = len(loader)
     if args.max_steps:

@@ -639,3 +639,35 @@ def test_staged_windows_bf16_transport_trains(setup):
     assert losses[-1] < losses[0]            # learning through bf16 stages
     assert "replay" not in rt.timers.totals
     assert rt.stats()["misses"] > 0
+
+
+def test_rbg_rng_impl_trains_and_is_deterministic(setup):
+    """utils/rng.wrap_key_any threads the PRNG impl through the fused
+    window's raw key_data scan: an rbg root key must run the whole
+    sample+lookup+train path (different stream, same distribution) and be
+    bit-reproducible across dispatches. The threefry default elsewhere in
+    this file is the parity-pinned stream; rbg is the measurement-gated
+    TPU perf knob (BENCH_RNG_IMPL / --rng_impl)."""
+    ds, store, rt, model = setup
+    rt.prewarm(np.arange(ds.graph.num_nodes))
+    rng = np.random.default_rng(11)
+    grid = np.stack([rng.choice(ds.train_idx, 32, replace=False)
+                     for _ in range(4)]).astype(np.int32)
+    root = jax.random.key(7, impl="rbg")
+    resolved = rt.resolve(rt.begin(grid[0], root))
+    params = model.init(jax.random.key(0), resolved[0], resolved[1])
+    opt = rt.tx.init(params)
+
+    p1, _, losses1, edges1 = rt.train_window(params, opt, grid, root)
+    losses1 = np.asarray(losses1)
+    assert np.isfinite(losses1).all() and (np.asarray(edges1) > 0).all()
+
+    p2, _, losses2, _ = rt.train_window(params, opt, grid, root)
+    np.testing.assert_array_equal(losses1, np.asarray(losses2))
+    l1 = jax.tree_util.tree_leaves(p1)
+    for a, b in zip(l1, jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and the stream really is different from threefry's at the same seed
+    _, _, losses3, _ = rt.train_window(params, opt, grid, jax.random.key(7))
+    assert not np.array_equal(losses1, np.asarray(losses3))
