@@ -83,6 +83,18 @@ def main(argv=None):
         # measures standalone
         ("f32_unroll4_P32_rbg", False, False, "float32", 4, None, 32),
         ("bf16_unroll4_P32_rbg", True, False, "bfloat16", 4, None, 32),
+        # r4 session-2 rows: rbg on the winning CSR schedule (P32 measured
+        # slower, so rbg deserves a run without it), unroll8 for bf16, and
+        # the DESIGN §2 measured-optimal gather as a full config — bf16
+        # cache lines with f32 model compute (0.99 ms/step standalone
+        # gather vs 2.2 ms f32; the model upcasts at the first matmul)
+        ("f32_unroll8_rbg", False, False, "float32", 8, None, None),
+        ("bf16_unroll8", True, False, "bfloat16", 8, None, None),
+        ("bf16_unroll8_rbg", True, False, "bfloat16", 8, None, None),
+        ("bf16lines_f32model_unroll8", True, False, "float32", 8, None,
+         None),
+        ("bf16lines_f32model_unroll8_rbg", True, False, "float32", 8,
+         None, None),
     ]
     if args.only:
         import re
