@@ -95,6 +95,10 @@ def main(argv=None):
          None),
         ("bf16lines_f32model_unroll8_rbg", True, False, "float32", 8,
          None, None),
+        # once bf16+rbg makes the step sampling-bound, re-probe the
+        # sampling-side knobs that lost under the f32 gather shadow
+        ("bf16_unroll16_rbg", True, False, "bfloat16", 16, None, None),
+        ("bf16_P32_unroll8_rbg", True, False, "bfloat16", 8, None, 32),
     ]
     if args.only:
         import re
