@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--stage_transport", default="int8")
     p.add_argument("--platform", default="")
     p.add_argument("--out", default="")
+    p.add_argument("--merge", action="store_true",
+                   help="merge into an existing --out artifact: reuse its "
+                        "uncached baseline and measure only the cache_mbs "
+                        "points it lacks (same config assumed)")
     args = p.parse_args(argv)
 
     from coala_gnn_tpu.utils.jaxconfig import setup as jax_setup
@@ -51,15 +55,30 @@ def main(argv=None):
     ds = synthetic_graph(num_nodes=args.nodes, avg_degree=15,
                          feature_dim=args.dim, num_classes=16, seed=0)
 
-    # inline uncached baseline (one run; it is host-link bound and slow —
-    # its own variance is reported by the repeated points' vs_uncached)
-    unc = bench.run_host(ds, args.batch, fanouts, args.dim, args.hidden,
-                         cache_mb=0, bf16=False, warmup=2, steps=8,
-                         tag="sweep-uncached")
-    base = unc["value"]
+    # merge mode: reuse the artifact's uncached baseline + measured points,
+    # measure only the budgets it lacks (a deadline-clamped suite run leaves
+    # a partial artifact; this completes it without re-paying ~an hour)
+    prior_points = []
+    base = None
+    if args.merge and args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        base = prior["config"]["uncached_self_baseline_edges_per_s"]
+        prior_points = prior["points"]
 
-    points = []
+    if base is None:
+        # inline uncached baseline (one run; it is host-link bound and slow —
+        # its own variance is reported by the repeated points' vs_uncached)
+        unc = bench.run_host(ds, args.batch, fanouts, args.dim, args.hidden,
+                             cache_mb=0, bf16=False, warmup=2, steps=8,
+                             tag="sweep-uncached")
+        base = unc["value"]
+
+    points = list(prior_points)
+    have = {pt["cache_mb"] for pt in points}
     for mb in [int(v) for v in args.cache_mbs.split(",")]:
+        if mb in have:
+            continue
         vals, hits = [], []
         for rep in range(args.repeats):
             r = bench.run_resident(
