@@ -479,16 +479,21 @@ def main():
     tuned_rng_impl = None
     tuned_best = None
     tuned_bf16 = None
-    tune_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "FLAGSHIP_TUNE_r04.json")
-    if os.path.exists(tune_path) and "BENCH_SCAN_UNROLL" not in os.environ \
+    import glob as _glob
+    tune_paths = sorted(_glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "FLAGSHIP_TUNE_r*.json")))
+    tune_path = tune_paths[-1] if tune_paths else ""
+    if tune_path and "BENCH_SCAN_UNROLL" not in os.environ \
             and "BENCH_WINDOW" not in os.environ \
             and "BENCH_NBR_CAP" not in os.environ \
             and "BENCH_RNG_IMPL" not in os.environ:
         try:
             with open(tune_path) as f:
                 tune = json.load(f)
-            f32_rows = {k: v for k, v in tune["rows"].items()
+            sage_rows = {k: v for k, v in tune["rows"].items()
+                         if v["config"].get("model", "sage") == "sage"}
+            f32_rows = {k: v for k, v in sage_rows.items()
                         if not v["config"]["int8_lines"]
                         and not v["config"]["bf16_features"]}
             if f32_rows:
@@ -500,7 +505,7 @@ def main():
                 log(f"bench: tuned f32 knobs from {tune_path}: "
                     f"scan_unroll={tuned_unroll} window={tuned_window} "
                     f"nbr_cap={tuned_nbr_cap} rng_impl={tuned_rng_impl}")
-            bf16_rows = {k: v for k, v in tune["rows"].items()
+            bf16_rows = {k: v for k, v in sage_rows.items()
                          if not v["config"]["int8_lines"]
                          and v["config"]["bf16_features"]
                          and v["config"]["model_dtype"] == "bfloat16"}
@@ -514,7 +519,7 @@ def main():
                 # single-chip ceiling next to the f32-parity headline
                 tuned_best = dict(tune["rows"][tune["best"]],
                                   tag=tune["best"],
-                                  source="FLAGSHIP_TUNE_r04.json")
+                                  source=os.path.basename(tune_path))
         except Exception as e:
             log(f"bench: ignoring unreadable tune artifact: {e}")
 

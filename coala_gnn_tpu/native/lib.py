@@ -90,6 +90,17 @@ def get() -> ctypes.CDLL:
             _f32p]
         lib.cg_quantize_rows.restype = None
 
+        _u16p = np.ctypeslib.ndpointer(dtype=np.uint16, flags="C_CONTIGUOUS")
+        _i8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+        lib.cg_encode_bf16.argtypes = [_f32p, ctypes.c_int64, _u16p]
+        lib.cg_encode_bf16.restype = None
+        lib.cg_gather_rows_bf16.argtypes = [
+            _f32p, ctypes.c_int64, _i64p, ctypes.c_int64, _u16p]
+        lib.cg_gather_rows_bf16.restype = None
+        lib.cg_gather_quantize_rows.argtypes = [
+            _f32p, ctypes.c_int64, _i64p, ctypes.c_int64, _i8p, _f32p]
+        lib.cg_gather_quantize_rows.restype = None
+
         _LIB = lib
         return lib
 
@@ -225,3 +236,48 @@ def gather_rows(lib: ctypes.CDLL, features: np.ndarray, ids: np.ndarray,
         out = np.empty((ids.shape[0], features.shape[1]), dtype=np.float32)
     lib.cg_gather_rows_f32(features, features.shape[1], ids, ids.shape[0], out)
     return out
+
+
+def encode_bf16(rows: np.ndarray, out: Optional[np.ndarray] = None):
+    """Parallel f32 -> bf16 round-to-nearest-even encode. Returns a
+    bfloat16-viewed array, or (None) when the native library is missing
+    (caller falls back to ml_dtypes astype)."""
+    try:
+        lib = get()
+    except Exception:
+        return None
+    import ml_dtypes
+    rows = np.ascontiguousarray(rows, dtype=np.float32)
+    if out is None:
+        out = np.empty(rows.shape, np.uint16)
+    lib.cg_encode_bf16(rows.reshape(-1), rows.size, out.reshape(-1))
+    return out.view(ml_dtypes.bfloat16)
+
+
+def gather_rows_bf16(lib: ctypes.CDLL, features: np.ndarray, ids: np.ndarray,
+                     out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Fused parallel out[i] = bf16(features[ids[i]]); ids < 0 -> zero rows.
+    ``out`` must be uint16 (the bf16 bit pattern); returns a bfloat16 view."""
+    import ml_dtypes
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    if out is None:
+        out = np.empty((ids.shape[0], features.shape[1]), np.uint16)
+    lib.cg_gather_rows_bf16(features, features.shape[1], ids, ids.shape[0],
+                            out)
+    return out.view(ml_dtypes.bfloat16)
+
+
+def gather_quantize_rows(lib: ctypes.CDLL, features: np.ndarray,
+                         ids: np.ndarray,
+                         q_out: Optional[np.ndarray] = None,
+                         scale_out: Optional[np.ndarray] = None):
+    """Fused parallel gather + per-row symmetric int8 quantize (identical
+    math to quantize_rows_native). Returns (q int8 [n, dim], scale f32 [n])."""
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    n, dim = ids.shape[0], features.shape[1]
+    if q_out is None:
+        q_out = np.empty((n, dim), np.int8)
+    if scale_out is None:
+        scale_out = np.empty(n, np.float32)
+    lib.cg_gather_quantize_rows(features, dim, ids, n, q_out, scale_out)
+    return q_out, scale_out

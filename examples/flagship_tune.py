@@ -100,6 +100,18 @@ def main(argv=None):
         ("bf16_unroll16_rbg", True, False, "bfloat16", 16, None, None),
         ("bf16_P32_unroll8_rbg", True, False, "bfloat16", 8, None, 32),
     ]
+    # r5 GAT rows (VERDICT r4 next #3: GAT ran 4.2x below SAGE with zero
+    # tuning): the slot-major plane-FMA combine (models/layers.py) plus the
+    # knobs that bought SAGE +44% in r4 — bf16 lines/model, unroll8, rbg.
+    grid = [g + ("sage",) for g in grid] + [
+        ("gat_f32_unroll1", False, False, "float32", 1, None, None, "gat"),
+        ("gat_f32_unroll8", False, False, "float32", 8, None, None, "gat"),
+        ("gat_bf16_unroll8", True, False, "bfloat16", 8, None, None, "gat"),
+        ("gat_bf16_unroll8_rbg", True, False, "bfloat16", 8, None, None,
+         "gat"),
+        ("gat_bf16_unroll16_rbg", True, False, "bfloat16", 16, None, None,
+         "gat"),
+    ]
     if args.only:
         import re
         grid = [g for g in grid if re.search(args.only, g[0])]
@@ -112,20 +124,21 @@ def main(argv=None):
         with open(args.out) as f:
             rows = json.load(f).get("rows", {})
         _GRID_LEN = len(rows) + len([g for g in grid if g[0] not in rows])
-    for tag, bf16, quant, mdt, unroll, win, ncap in grid:
+    for tag, bf16, quant, mdt, unroll, win, ncap, mtype in grid:
         rng_impl = "rbg" if tag.endswith("_rbg") else ""
         r = bench.run_resident(ds, args.batch, fanouts, args.dim,
                                args.hidden, args.cache_mb, bf16,
                                args.warmup, args.steps, tag=f"tune-{tag}",
                                quantize=quant, model_dtype=mdt,
                                scan_unroll=unroll, window=win,
-                               nbr_cap=ncap, rng_impl=rng_impl)
+                               nbr_cap=ncap, rng_impl=rng_impl,
+                               model_type=mtype)
         rows[tag] = {"value": r["value"], "unit": r["unit"],
                      "cache_hit_ratio": r["cache_hit_ratio"],
                      "config": {"bf16_features": bf16, "int8_lines": quant,
                                 "model_dtype": mdt, "scan_unroll": unroll,
                                 "window": win, "nbr_cap": ncap,
-                                "rng_impl": rng_impl}}
+                                "rng_impl": rng_impl, "model": mtype}}
         print(f"tune {tag}: {r['value']:,.0f} edges/s", file=sys.stderr,
               flush=True)
         # incremental write: a timeout-killed run still leaves every

@@ -63,7 +63,22 @@ def main(argv=None):
     if args.merge and args.out and os.path.exists(args.out):
         with open(args.out) as f:
             prior = json.load(f)
-        base = prior["config"]["uncached_self_baseline_edges_per_s"]
+        # a merge across mismatched configs silently mislabels every prior
+        # point (ADVICE r4): refuse unless the throughput-determining keys
+        # match the current invocation exactly
+        pc = prior["config"]
+        cur = {"nodes": args.nodes, "dim": args.dim, "batch": args.batch,
+               "fanout": fanouts, "window": args.window,
+               "stage_transport": args.stage_transport,
+               "repeats": args.repeats, "steps_per_run": args.steps}
+        mismatch = {k: (pc.get(k), v) for k, v in cur.items()
+                    if pc.get(k) != v}
+        if mismatch:
+            raise SystemExit(
+                f"--merge refused: prior artifact config differs on "
+                f"{mismatch} (stored, current); re-run without --merge "
+                f"or match the stored config")
+        base = pc["uncached_self_baseline_edges_per_s"]
         prior_points = prior["points"]
 
     if base is None:
@@ -123,7 +138,11 @@ def _artifact(args, fanouts, base, points):
                    "steps_per_run": args.steps,
                    "uncached_self_baseline_edges_per_s": base},
         "points": points,
-        "complete": len(points) == len(args.cache_mbs.split(",")),
+        # set membership, not count: a merge may carry points whose budget
+        # is not in the current request (ADVICE r4)
+        "complete": all(
+            int(v) in {pt["cache_mb"] for pt in points}
+            for v in args.cache_mbs.split(",")),
         "note": "tunnel-transfer-bound regimes vary +-2-3x run to run; "
                 "judge claims on min/max spread, not single runs",
     }
