@@ -55,11 +55,62 @@ def _self_baseline(config=None):
     return base
 
 
+def _op_peaks():
+    """Measured per-class peaks from the newest BENCH_OPS_r*.json on this
+    chip (examples/bench_ops.py): {(class, elem_bytes): GB/s or TFLOP/s}.
+    Roofline denominators (VERDICT r4 next #4) — returns {} when the
+    artifact or a required row is missing (roofline omitted, not guessed)."""
+    import glob
+    paths = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_OPS_r*.json")))
+    if not paths:
+        return {}
+    try:
+        with open(paths[-1]) as f:
+            rows = {r["name"]: r for r in json.load(f)["results"]}
+    except Exception:
+        return {}
+    name_map = {
+        ("rand", 4): "plain row gather f32",
+        ("rand", 2): "plain row gather bf16",
+        ("rand", 1): "plain row gather int8",
+        ("stream", 4): "contig agg_sum f32",
+        ("stream", 2): "contig agg_sum bf16",
+        ("mm", 4): "f32 4096^3 matmul",
+        ("mm", 2): "bf16 4096^3 matmul",
+    }
+    peaks = {}
+    for key, name in name_map.items():
+        if name in rows:
+            r = rows[name]
+            peaks[key] = r.get("gb_per_s") or r.get("tflop_per_s")
+    peaks["source"] = os.path.basename(paths[-1])
+    return peaks
+
+
+def _roofline_row(peaks, B, fanouts, dim, hidden, num_classes, model_type,
+                  line_bytes, model_bytes, nbr_cap, ms_step):
+    """Roofline report for one measured config (None if peaks incomplete)."""
+    from coala_gnn_tpu.utils.roofline import report, step_cost
+    need = [("rand", line_bytes), ("stream", model_bytes),
+            ("mm", model_bytes)]
+    if any(k not in peaks for k in need):
+        return None
+    cost = step_cost(B, fanouts, dim, hidden, num_classes, model=model_type,
+                     line_bytes=line_bytes, model_bytes=model_bytes,
+                     nbr_cap=nbr_cap)
+    r = report(cost, {"rand_gbps": peaks[need[0]],
+                      "stream_gbps": peaks[need[1]],
+                      "mm_tflops": peaks[need[2]]}, ms_step)
+    r["peaks"]["source"] = peaks.get("source")
+    return r
+
+
 def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
                  prewarm_frac=1.0, tag="resident", quantize=None,
                  priorities=None, stage_transport="auto", window=None,
                  model_dtype=None, model_type="sage", scan_unroll=None,
-                 nbr_cap=None, rng_impl=None):
+                 nbr_cap=None, rng_impl=None, stage_overlap=None):
     """Device-resident mode: topology in HBM, sampling+probe in jit; host
     uploads only seeds (~4 KB/step). prewarm_frac < 1 leaves the cache
     under capacity pressure (the regime COALA exists for): only the
@@ -97,11 +148,14 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
         # padded-neighbor-table topology layout (0 = CSR, the default);
         # adopted via the tuning artifact like scan_unroll
         nbr_cap = int(os.environ.get("BENCH_NBR_CAP", 0)) or None
+    if stage_overlap is None:
+        stage_overlap = bool(int(os.environ.get("BENCH_STAGE_OVERLAP", 0)))
     rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
                          labels=ds.labels, cache_cfg=cfg, model=model,
                          tx=optax.adam(1e-3), fanouts=fanouts, batch_size=B,
                          priorities=priorities,
                          stage_transport=stage_transport,
+                         stage_overlap=stage_overlap,
                          scan_unroll=scan_unroll, nbr_cap=nbr_cap)
     t = time.perf_counter()
     n_warm = min(cfg.capacity, ds.graph.num_nodes)
@@ -194,7 +248,7 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
               "nbr_cap": nbr_cap,
               "priorities": "degree" if priorities is not None else None}
     base = _self_baseline(config)
-    return {
+    out = {
         "metric": "train_edges_per_s_per_chip",
         "value": round(eps, 1),
         "unit": "edges/s",
@@ -204,8 +258,21 @@ def run_resident(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
         "vs_baseline": None,
         "vs_uncached_self_baseline": (round(eps / base, 2) if base else None),
         "cache_hit_ratio": round(s["hit_ratio"], 4),
+        "ms_per_step": round(1000 * dt / n_done, 3),
         "config": config,
     }
+    # roofline accounting (full-coverage configs only: under capacity
+    # pressure the step is host-link-bound and the on-chip roofline is not
+    # the binding resource)
+    if prewarm_frac >= 1.0 and cfg.capacity >= ds.graph.num_nodes:
+        roof = _roofline_row(
+            _op_peaks(), B, fanouts, dim, hidden, ds.num_classes,
+            model_type, line_bytes=1 if quant else (2 if bf16 else 4),
+            model_bytes=2 if model_dtype == jnp.bfloat16 else 4,
+            nbr_cap=nbr_cap, ms_step=1000 * dt / n_done)
+        if roof is not None:
+            out["roofline"] = roof
+    return out
 
 
 def run_host(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
@@ -314,6 +381,39 @@ def run_host(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
             h = None
         pending.append((hb, dbuf, h))
 
+    # Speculative all-hit execution (VERDICT r4 next #6): in the prewarmed
+    # steady state every step's miss count is zero, so reading it BEFORE
+    # the step puts one d2h scalar round trip on every step's critical
+    # path — the measured RTT floor of this pipeline (docs/DESIGN.md).
+    # Instead, run the step against the probe's feats as-is and verify a
+    # GROUP of miss counters after the fact (they streamed back via
+    # copy_to_host_async while later steps dispatched). On any nonzero
+    # count: roll back to the group-start params (references — functional
+    # updates make snapshots free) and replay the group precisely through
+    # fetch_complete's miss-repair path. Exactness matches the resident
+    # windows' replay safety net.
+    spec = cache is not None and bool(
+        int(os.environ.get("BENCH_HOST_SPECULATE", 1)))
+    group_cap = int(os.environ.get("BENCH_HOST_SPEC_GROUP", 8))
+    group = []      # [(handle, packed, key)] since last verify
+    snap = None     # (params, opt_state) at group start
+    replays = 0
+
+    def flush_group():
+        nonlocal params, opt_state, loss, replays, snap
+        if not group:
+            return
+        miss = [int(np.asarray(h[6])) for h, _, _ in group]
+        if any(miss):
+            replays += 1
+            params, opt_state = snap
+            for h_g, packed_g, key_g in group:
+                x_g = cache.fetch_complete(h_g, store.fetch)[0]
+                params, opt_state, loss, _ = step_fn(params, opt_state,
+                                                     key_g, packed_g, x_g)
+        group.clear()
+        snap = None
+
     pull()
     for i in range(warmup + steps):
         if not pending:
@@ -321,7 +421,12 @@ def run_host(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
         hb, packed, handle = pending.pop(0)
         pull()  # start next batch's probe before resolving this one
         if cache is not None:
-            x = cache.fetch_complete(handle, store.fetch)[0]
+            if spec and params is not None:
+                if snap is None:
+                    snap = (params, opt_state)
+                x = handle[3][0]        # probe feats, misses unverified
+            else:
+                x = cache.fetch_complete(handle, store.fetch)[0]
         else:
             # sentinel ids (contiguous layout) index a clamped row — the
             # value never contributes (mask weight 0)
@@ -342,10 +447,16 @@ def run_host(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
         key, sub = jax.random.split(key)
         params, opt_state, loss, acc = step_fn(params, opt_state, sub,
                                                packed, x)
+        if spec and cache is not None and snap is not None:
+            group.append((handle, packed, sub))
+            if len(group) >= group_cap:
+                flush_group()
         if i == 0:
+            flush_group()
             jax.block_until_ready(loss)
             log(f"bench[{tag}]: compile done, warming up")
         if i == warmup - 1:
+            flush_group()
             jax.block_until_ready(loss)
             if cache is not None:
                 cache.stats()  # reset so reported ratio covers timed steps
@@ -355,6 +466,9 @@ def run_host(ds, B, fanouts, dim, hidden, cache_mb, bf16, warmup, steps,
             edges += hb.edges        # all-device valid-edge count (local_size=1 here)
             n_done += 1
 
+    flush_group()
+    if replays:
+        log(f"bench[{tag}]: speculative groups replayed: {replays}")
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     eps = edges / dt

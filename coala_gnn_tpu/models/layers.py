@@ -114,13 +114,21 @@ class GATConv(nn.Module):
     @nn.compact
     def __call__(self, block: DeviceBlock, x: jax.Array) -> jax.Array:
         H, F = self.num_heads, self.features
-        feat = nn.Dense(H * F, use_bias=False, dtype=self.dtype, name="fc")(x)
-        feat = feat.reshape(x.shape[0], H, F)              # [n_src, H, F]
+        fc = nn.Dense(H * F, use_bias=False, dtype=self.dtype, name="fc")
+        feat = fc(x).reshape(x.shape[0], H, F)             # [n_src, H, F]
 
         attn_l = self.param("attn_l", nn.initializers.glorot_uniform(), (H, F), self.dtype)
         attn_r = self.param("attn_r", nn.initializers.glorot_uniform(), (H, F), self.dtype)
-        el = jnp.einsum("nhf,hf->nh", feat, attn_l)        # [n_src, H]
-        er = jnp.einsum("nhf,hf->nh", feat[: block.cap_dst], attn_r)
+        # scores by kernel folding: el = feat·attn_l == x @ (W·attn_l) —
+        # algebraically identical, but a [d_in, H] matvec on x instead of
+        # a second full pass over the [n_src, H, F] feat tensor (measured
+        # 2.4 ms of GAT's 7.4 ms fwd+bwd at the flagship shapes)
+        W = self.variables["params"]["fc"]["kernel"] \
+            .astype(self.dtype).reshape(-1, H, F)
+        xc = x.astype(self.dtype)
+        el = xc @ jnp.einsum("dhf,hf->dh", W, attn_l.astype(self.dtype))
+        er = xc[: block.cap_dst] @ jnp.einsum(
+            "dhf,hf->dh", W, attn_r.astype(self.dtype))
 
         # e[i,k,h] = leaky_relu(el[adj[i,k],h] + er[i,h]); masked softmax over k.
         shape = (block.cap_dst, block.fanout)

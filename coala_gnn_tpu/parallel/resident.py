@@ -49,6 +49,19 @@ def _pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
 
 
+def stage_cap(n: int) -> int:
+    """Stage-buffer capacity for n miss rows: pow2 up to 8192 (few compiled
+    shapes for the small/test regimes), then multiples of 8192 — pow2
+    padding wasted up to 2x the stage upload (67 MB shipped for 36 MB of
+    rows at the r5 48 MB pressure point) and the upload is the staged
+    window's dominant wire cost. Miss counts are stable within a run, so
+    the coarse granule still compiles O(1) shapes."""
+    n = max(int(n), 1)
+    if n <= 8192:
+        return _pow2(n)
+    return -(-n // 8192) * 8192
+
+
 def encode_stage_rows(rows: np.ndarray, transport: str):
     """Host-side transport encoding of staged miss rows.
 
@@ -591,7 +604,7 @@ class ResidentTrainer:
         gather+encode reads each feature row ONCE and writes only the
         transport-width encoding into a reused scratch buffer — no fresh
         f32 staging alloc, no second encode pass (VERDICT r4 next #1a/b)."""
-        u_cap = _pow2(max(mids.size, 1))
+        u_cap = stage_cap(mids.size)
         dim = self.cache_cfg.dim
         if self._store is not None and evicted is None:
             gid = self._scratch("gid", (u_cap,), np.int64)
@@ -624,7 +637,7 @@ class ResidentTrainer:
                     # readback is ready right after the window+insert retire
                     mids, gathered, offer = merge_evicted_patch(
                         mids, gathered, np.asarray(evicted), self.host_fetch)
-            u_cap = _pow2(max(mids.size, 1))
+            u_cap = stage_cap(mids.size)
             offer_p = np.zeros(u_cap, bool)
             offer_p[: mids.size] = offer
             with self.timers.time("stage_encode"):

@@ -41,6 +41,7 @@ from coala_gnn_tpu.parallel.resident import (
     INT32_MAX,
     _pow2,
     encode_stage_rows,
+    stage_cap,
 )
 from coala_gnn_tpu.sampling.device_sampler import (
     sample_blocks_device,
@@ -553,7 +554,7 @@ class ShardedResidentTrainer:
         window critical path (VERDICT r4 next #1a/b, weak #3)."""
         from coala_gnn_tpu.parallel.multihost import read_replicated
         from coala_gnn_tpu.parallel.resident import merge_evicted_patch
-        u_cap = _pow2(max(mids.size, 1))
+        u_cap = stage_cap(mids.size)
         dim = self.cache.cfg.dim
         if self._store is not None and not evicted:
             gid = self._scratch.get("gid", (u_cap,), np.int64)
@@ -595,7 +596,7 @@ class ShardedResidentTrainer:
                          for h in evicted])
                     mids, gathered, offer = merge_evicted_patch(
                         mids, gathered, ev, self.host_fetch)
-            u_cap = _pow2(max(mids.size, 1))
+            u_cap = stage_cap(mids.size)
             ids_p = np.full(u_cap, INT32_MAX, np.int32)
             ids_p[: mids.size] = mids
             with self.timers.time("stage_encode"):

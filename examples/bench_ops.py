@@ -192,17 +192,22 @@ def main():
     # plain gather (roofline probe: what the backend's gather achieves)
     flat = adj.reshape(-1)
     g = jax.jit(lambda x, i: x[i])
+    x8 = jnp.asarray(rng.integers(-127, 128, size=(N, D)).astype(np.int8))
     for name, x, bpp in [("plain row gather f32", x32, 4),
-                         ("plain row gather bf16", x16, 2)]:
+                         ("plain row gather bf16", x16, 2),
+                         ("plain row gather int8", x8, 1)]:
         dt = timeit(g, x, flat)
         traffic = flat.shape[0] * D * bpp * 2  # read + write
         record(name, dt, traffic)
 
-    # MXU probe for context
-    a = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32)).astype(jnp.bfloat16)
+    # MXU probes (both dtypes — roofline denominators, utils/roofline.py)
+    a32 = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
+    a = a32.astype(jnp.bfloat16)
     mm = jax.jit(lambda a: a @ a)
     dt = timeit(mm, a)
     record("bf16 4096^3 matmul", dt, flops=2 * 4096**3)
+    dt = timeit(mm, a32)
+    record("f32 4096^3 matmul", dt, flops=2 * 4096**3)
 
     # ---- cache-gather-bound experiment (VERDICT r3 next #2) ------------
     # The flagship step is bound by the flat-tier row gather (67.5k x 1 KB

@@ -28,6 +28,11 @@ import pytest
 from coala_gnn_tpu.graph.datasets import synthetic_graph
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (reference-scale or multi-epoch)")
+
+
 @pytest.fixture(scope="session")
 def small_dataset():
     return synthetic_graph(num_nodes=2000, avg_degree=10, feature_dim=32,
