@@ -175,6 +175,10 @@ def main(argv=None):
                    help="per-host DCN bandwidth GB/s (50 Gb/s NIC default)")
     p.add_argument("--ici_gbps", type=float, default=45.0,
                    help="per-device ICI bandwidth GB/s (v5e 2D-torus-ish)")
+    p.add_argument("--reconcile", default="",
+                   help="path to examples/comm_reconcile.py output; embeds "
+                        "the model-vs-compiled-HLO byte columns so the "
+                        "byte model in this artifact is falsifiable")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -182,15 +186,20 @@ def main(argv=None):
     setup(args.platform)
 
     art = {
-        "method": "exact shape-determined wire bytes (comm_model) + "
-                  "virtual-mesh node_local affinity A/B + projection; "
-                  "replaces the r3 virtual-device wall-clock emulation",
+        "method": "exact shape-determined wire bytes (comm_model, "
+                  "reconciled 1:1 against compiled-HLO collective bytes — "
+                  "see hlo_reconciliation) + virtual-mesh node_local "
+                  "affinity A/B + projection; replaces the r3 "
+                  "virtual-device wall-clock emulation",
         "link_params": {"dcn_gbps": args.dcn_gbps, "ici_gbps": args.ici_gbps,
                         "step_ms_measured_single_chip": args.step_ms},
         "bytes": flagship_bytes(args.step_ms, args.dcn_gbps, args.ici_gbps),
         "node_local_affinity_ab_virtual_mesh": node_local_ab(),
         "target": {"scaling_efficiency_1_to_2_hosts": ">0.80 (BASELINE.md)"},
     }
+    if args.reconcile:
+        with open(args.reconcile) as f:
+            art["hlo_reconciliation"] = json.load(f)
     txt = json.dumps(art, indent=1)
     print(txt)
     if args.out:

@@ -45,17 +45,23 @@ _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s8": 1,
 _COLL_RE = re.compile(
     r"(\w+)\[([\d,]*)\][^=]*\s(all-to-all|all-gather|all-reduce|"
     r"reduce-scatter|collective-permute)(?:-start)?\(",)
-_GROUPS_RE = re.compile(r"replica_groups=\{?\{([\d,]+)\}")
+_TUPLE_RE = re.compile(r"=\s*\(\w+\[")   # "%x = (f32[..." tuple result
+_GROUPS_ALL_RE = re.compile(r"replica_groups=\{((?:\{[\d,]+\},?)+)\}")
 _GROUPS_IOTA_RE = re.compile(r"replica_groups=\[(\d+),(\d+)\]")
 
 
 def hlo_collective_bytes(hlo: str) -> dict:
     """Per-device bytes leaving the chip, summed over collectives in the
-    per-device HLO module, grouped by collective kind. Also returns every
-    replica group seen (for the node_local containment check)."""
+    per-device HLO module, grouped by collective kind. Also records every
+    (kind, bytes, groups) row for the node_local containment check.
+
+    Two all-to-all forms exist in optimized HLO: the array form (one
+    operand split along split_dimension; off-device = size*(G-1)/G) and
+    the tuple form shard_map lowers to (G operands of one chunk each;
+    off-device = chunk*(G-1) — only the self-chunk stays)."""
     out = {"all-to-all": 0, "all-gather": 0, "all-reduce": 0,
            "reduce-scatter": 0, "collective-permute": 0}
-    groups_seen = []
+    rows = []
     for line in hlo.splitlines():
         m = _COLL_RE.search(line)
         if not m:
@@ -67,28 +73,34 @@ def hlo_collective_bytes(hlo: str) -> dict:
         for d in dims.split(","):
             if d:
                 size *= int(d)
-        gm = _GROUPS_RE.search(line)
+        gm = _GROUPS_ALL_RE.search(line)
         if gm:
-            group = [int(v) for v in gm.group(1).split(",")]
-            G = len(group)
-            groups_seen.append(group)
+            groups = [[int(v) for v in blk.split(",")]
+                      for blk in gm.group(1).strip("{}").split("},{")]
+            G = len(groups[0])
         else:
             gi = _GROUPS_IOTA_RE.search(line)
             G = int(gi.group(2)) if gi else 1
+            groups = []
         if G <= 1:
             continue
         if kind == "all-to-all":
-            out[kind] += size * (G - 1) // G
+            if _TUPLE_RE.search(line):
+                sent = size * (G - 1)       # tuple form: size = one chunk
+            else:
+                sent = size * (G - 1) // G  # array form: size = full buf
         elif kind == "all-gather":
-            out[kind] += size * (G - 1) // G
+            sent = size * (G - 1) // G
         elif kind == "all-reduce":
-            out[kind] += size * 2 * (G - 1) // G
+            sent = size * 2 * (G - 1) // G
         elif kind == "reduce-scatter":
-            out[kind] += size * (G - 1)
+            sent = size * (G - 1)
         else:
-            out[kind] += size
+            sent = size
+        out[kind] += sent
+        rows.append({"kind": kind, "bytes": sent, "groups": groups})
     out["total"] = sum(v for k, v in out.items() if k != "total")
-    out["replica_groups"] = groups_seen
+    out["rows"] = rows
     return out
 
 
@@ -128,17 +140,25 @@ def reconcile_lookup(mode: str, n_dev: int, local: int, n_req: int,
         "hlo_all_to_all_bytes": got_a2a,
         "hlo_other_collectives": {k2: v for k2, v in got.items()
                                   if k2 not in ("all-to-all", "total",
-                                                "replica_groups") and v},
+                                                "rows") and v},
         "ratio_hlo_over_model": round(got_a2a / want["total"], 4)
         if want["total"] else None,
     }
     if mode == "node_local":
-        # structural cross-host check: every replica group must stay inside
-        # one contiguous local-device block
+        # structural cross-host check: every all-to-all (the id/feature/
+        # hitbit exchange — the data plane) must stay inside one contiguous
+        # local-device block. Scalar count psum/pmax all-reduces are the
+        # control plane and legitimately span hosts (cache-meta analog,
+        # Shared_Tensor.py:96-103) — report their bytes separately.
+        a2a_rows = [r for r in got["rows"] if r["kind"] == "all-to-all"]
         ok = all(
             {d // local for d in g} == {g[0] // local}
-            for g in got["replica_groups"])
-        row["groups_within_host"] = ok
+            for r in a2a_rows for g in r["groups"])
+        row["feature_a2a_within_host"] = ok
+        row["cross_host_control_bytes"] = sum(
+            r["bytes"] for r in got["rows"]
+            if r["kind"] != "all-to-all" and any(
+                len({d // local for d in g}) > 1 for g in r["groups"]))
     return row
 
 
@@ -147,7 +167,7 @@ def reconcile_psum(n_dev: int, local: int, param_elems: int) -> dict:
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from coala_gnn_tpu.parallel.comm_model import grad_psum_bytes
     from coala_gnn_tpu.parallel.mesh import DATA_AXIS, make_mesh
