@@ -740,9 +740,11 @@ def main():
             # artifact exists (examples/affinity_ab.py measures it on the
             # virtual multi-host mesh — Distribution_compare_script.sh
             # parity; it cannot run on the single bench chip)
-            ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "AFFINITY_AB_r04.json")
-            if os.path.exists(ab_path):
+            ab_paths = sorted(_glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "AFFINITY_AB_r*.json")))
+            ab_path = ab_paths[-1] if ab_paths else ""
+            if ab_path and os.path.exists(ab_path):
                 try:
                     with open(ab_path) as f:
                         ab = json.load(f)
@@ -753,7 +755,7 @@ def main():
                             "hit_ratio_gain": ab[p]["hit_ratio_gain"]}
                         for p in ("parts2", "parts4") if p in ab}
                     res["distribution_ab_flagship"]["source"] = \
-                        "AFFINITY_AB_r04.json"
+                        os.path.basename(ab_path)
                 except Exception:
                     pass
         if int(os.environ.get("BENCH_HOST", 1)):
