@@ -593,6 +593,7 @@ def main():
     tuned_rng_impl = None
     tuned_best = None
     tuned_bf16 = None
+    tuned_gat = None
     import glob as _glob
     tune_paths = sorted(_glob.glob(os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -626,6 +627,16 @@ def main():
             if bf16_rows:
                 bb = max(bf16_rows.values(), key=lambda r: r["value"])
                 tuned_bf16 = bb["config"]
+            # GAT's optimum differs from SAGE's (r5 grid: unroll1 f32
+            # wins — GAT is stream-saturated, longer unrolls only grow
+            # live ranges); grid rows adopt the best measured gat config
+            gat_rows = {k: v for k, v in tune["rows"].items()
+                        if v["config"].get("model") == "gat"
+                        and not v["config"]["int8_lines"]
+                        and not v["config"]["bf16_features"]}
+            if gat_rows:
+                gb = max(gat_rows.values(), key=lambda r: r["value"])
+                tuned_gat = gb["config"]
             if tune.get("best") in tune.get("rows", {}):
                 # carry the grid's overall fastest configuration (may be
                 # int8/bf16 lines — exactness-pinned variants, see
@@ -728,10 +739,15 @@ def main():
                      "cache_hit_ratio": res["cache_hit_ratio"]}}
             for m, fo in (("gat", fanouts), ("sage", [10, 5, 5]),
                           ("gat", [10, 5, 5])):
+                kn = (tuned_gat if m == "gat" else None) or {}
                 g = run_resident(ds, B, list(fo), dim, hidden, cache_mb,
                                  bf16, warmup=8, steps=32,
                                  tag=f"grid-{m}-{'x'.join(map(str, fo))}",
-                                 model_type=m)
+                                 model_type=m,
+                                 scan_unroll=kn.get("scan_unroll"),
+                                 window=kn.get("window"),
+                                 nbr_cap=kn.get("nbr_cap"),
+                                 rng_impl=kn.get("rng_impl"))
                 grid[f"{m}_{'x'.join(map(str, fo))}"] = {
                     "value": g["value"], "unit": g["unit"],
                     "cache_hit_ratio": g["cache_hit_ratio"]}
