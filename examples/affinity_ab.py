@@ -87,15 +87,28 @@ def main(argv=None):
                    help="community-structured graph (COALA's regime)")
     p.add_argument("--no-clustered", dest="clustered", action="store_false")
     p.add_argument("--communities", type=int, default=64)
+    p.add_argument("--path", default="",
+                   help="preprocessed on-disk graph dir (e.g. the "
+                        "reference-scale 10M-node artifact); colors load "
+                        "from <path>/colors or --color_dir")
+    p.add_argument("--color_dir", default="")
+    p.add_argument("--num_classes", type=int, default=19)
+    p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
     from coala_gnn_tpu.utils.jaxconfig import setup
     setup(args.platform)
 
-    from coala_gnn_tpu.coloring import generate_color_metadata
+    from coala_gnn_tpu.coloring import (generate_color_metadata,
+                                        load_color_metadata)
     from coala_gnn_tpu.graph.datasets import clustered_graph, synthetic_graph
 
-    if args.clustered:
+    if args.path:
+        from coala_gnn_tpu.graph.datasets import load_preprocessed
+        ds = load_preprocessed(args.path, num_classes=args.num_classes)
+        meta = load_color_metadata(
+            args.color_dir or os.path.join(args.path, "colors"))
+    elif args.clustered:
         ds = clustered_graph(num_nodes=args.num_nodes,
                              num_communities=args.communities,
                              avg_degree=10, p_intra=0.95,
@@ -104,7 +117,9 @@ def main(argv=None):
         ds = synthetic_graph(num_nodes=args.num_nodes, avg_degree=10,
                              feature_dim=args.feature_dim, num_classes=16,
                              seed=args.seed)
-    meta = generate_color_metadata(ds.graph, ds.train_idx, seed=args.seed)
+    if not args.path:
+        meta = generate_color_metadata(ds.graph, ds.train_idx,
+                                       seed=args.seed)
     print(f"graph: {ds.graph.num_nodes} nodes, {meta.num_colors} colors",
           file=sys.stderr)
 
@@ -119,7 +134,18 @@ def main(argv=None):
               f"per-host {r['per_host']}", file=sys.stderr, flush=True)
     gain = out["node_color"]["aggregate"] - out["baseline"]["aggregate"]
     out["hit_ratio_gain"] = round(gain, 4)
-    print(json.dumps(out))
+    out["config"] = {"parts": args.parts, "batch_size": args.batch_size,
+                     "fan_out": args.fan_out, "cache_mb": args.cache_mb,
+                     "iters": args.iters,
+                     "refresh_counter": args.refresh_counter,
+                     "graph": args.path or
+                     f"clustered:{args.num_nodes}" if args.clustered
+                     else f"synthetic:{args.num_nodes}"}
+    txt = json.dumps(out)
+    print(txt)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(txt)
     return out
 
 

@@ -112,7 +112,7 @@ def _rss_gb() -> float:
 
 def run_single(path: str, cache_mb: int, batch: int, fanout: str,
                hidden: int, window: int, windows: int, warm_windows: int,
-               transport: str) -> dict:
+               transport: str, quantize: bool = False) -> dict:
     """Single-chip capacity-pressure training off the memmapped graph."""
     import jax
     import optax
@@ -129,7 +129,8 @@ def run_single(path: str, cache_mb: int, batch: int, fanout: str,
     fanouts = [int(f) for f in fanout.split(",")]
     dim = meta["dim"]
     store = HostFeatureStore(ds.features)
-    cfg = fc.make_config(cache_mb=cache_mb, dim=dim, num_colors=0)
+    cfg = fc.make_config(cache_mb=cache_mb, dim=dim, num_colors=0,
+                         quantize=quantize)
     model = make_model("sage", hidden=hidden, num_classes=ds.num_classes,
                        num_layers=len(fanouts))
     rt = ResidentTrainer(graph=ds.graph, host_fetch=store.fetch,
@@ -310,6 +311,10 @@ def main(argv=None):
     p.add_argument("--windows", type=int, default=4)
     p.add_argument("--warm_windows", type=int, default=2)
     p.add_argument("--stage_transport", default="int8")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 cache lines (+ per-line scale): ~4x the "
+                        "lines per MB at dim 1024 -> ~42%% coverage from "
+                        "the same 4 GiB budget")
     p.add_argument("--platform", default="")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
@@ -327,10 +332,11 @@ def main(argv=None):
                                    args.num_classes, args.community_size,
                                    args.p_intra, args.seed)
     if args.run:
-        art["single_chip"] = run_single(
+        key = "single_chip_int8_lines" if args.quantize else "single_chip"
+        art[key] = run_single(
             args.path, args.cache_mb, args.batch, args.fanout, args.hidden,
             args.window, args.windows, args.warm_windows,
-            args.stage_transport)
+            args.stage_transport, quantize=args.quantize)
     if args.mesh:
         art["mesh_8dev"] = run_mesh(args.path, args.batch // 4, args.fanout,
                                     args.hidden, args.cache_mb // 4,
