@@ -4,11 +4,13 @@
 The r3 artifact had single runs per point, a non-monotonic 48 MB dip, and a
 commit claim the data didn't support. This script makes the sweep honest:
 >=3 repeats per cache size, mean/std/min/max in the artifact, and the
-uncached self-baseline measured inline at the same config. Tunnel-transfer-
-bound regimes show +-2-3x run-to-run variance (docs/DESIGN.md), so claims
-must come from the spread, not a point.
+uncached self-baseline measured inline at the same config. Claims must
+come from the spread, not a point: r4's tunnel-transfer-bound regimes
+varied +-3.4x run to run; the r5 miss path (native fused gather+encode,
+reused scratch pool, K=128 windows) holds <=1.5x at every budget
+(PRESSURE_SWEEP_r05.json, docs/DESIGN.md).
 
-  python examples/pressure_sweep.py --repeats 3 --out PRESSURE_SWEEP_r04.json
+  python examples/pressure_sweep.py --repeats 3 --out PRESSURE_SWEEP_r05.json
 
 Reference protocol anchor: Cache_compare_script.sh:28-34 sweeps cache sizes
 across SLURM jobs; this is the same axis measured in-process.
@@ -143,8 +145,10 @@ def _artifact(args, fanouts, base, points):
         "complete": all(
             int(v) in {pt["cache_mb"] for pt in points}
             for v in args.cache_mbs.split(",")),
-        "note": "tunnel-transfer-bound regimes vary +-2-3x run to run; "
-                "judge claims on min/max spread, not single runs",
+        "note": "judge claims on min/max spread, not single runs (r4's "
+                "tunnel-transfer-bound points varied +-3.4x; the r5 fused "
+                "native gather+encode + scratch pool + K=128 windows hold "
+                "spread <= 1.5x at every budget)",
     }
 
 
