@@ -29,7 +29,7 @@ import numpy as np
 
 
 def run_mode(mode, ds, meta, parts, B, fanouts, cache_mb, iters, refresh,
-             seed=0):
+             seed=0, epochs=1):
     import jax
 
     from coala_gnn_tpu.cache import feature_cache as fc
@@ -53,22 +53,35 @@ def run_mode(mode, ds, meta, parts, B, fanouts, cache_mb, iters, refresh,
 
     cache_meta = np.zeros((parts, meta.num_colors + 1), np.int32)
     n_iters = min(iters, distributor.num_iters)
-    for it in range(n_iters):
-        if it % refresh == 0:
-            cache_meta = np.stack([c.color_meta() for c in caches])
-        domains = distributor.distribute(it, cache_meta)
-        for p in range(parts):
-            batch = sampler.sample(domains[p][:B])
-            caches[p].fetch(batch.input_ids[None, :],
-                            np.asarray([batch.num_input], np.int32),
-                            store.fetch, colors=meta.color)
+    for ep in range(epochs):
+        if ep:
+            # fresh shuffle per epoch (reference parity: train nids are
+            # reshuffled every epoch, sbatch_ssd_gnn_train.py:65); caches
+            # persist across epochs — that is the warm-up being measured
+            distributor = SeedDistributor(
+                ds.train_idx, batch_size=B, local_size=1, num_parts=parts,
+                mode=mode, color=meta.color, topk_colors=meta.topk,
+                affinity=meta.score, shuffle_seed=seed + ep)
+        if epochs > 1 and ep == epochs - 1:
+            for c in caches:
+                c.stats()   # reset-on-read: measure the final epoch only
+        for it in range(n_iters):
+            if it % refresh == 0:
+                cache_meta = np.stack([c.color_meta() for c in caches])
+            domains = distributor.distribute(it, cache_meta)
+            for p in range(parts):
+                batch = sampler.sample(domains[p][:B])
+                caches[p].fetch(batch.input_ids[None, :],
+                                np.asarray([batch.num_input], np.int32),
+                                store.fetch, colors=meta.color)
     stats = [c.stats() for c in caches]
     agg_h = sum(s["hits"] for s in stats)
     agg_m = sum(s["misses"] for s in stats)
     return {"per_host": [round(s["hit_ratio"], 4) for s in stats],
             "aggregate": round(agg_h / max(agg_h + agg_m, 1), 4),
             "capacity_per_host": cfg.capacity,
-            "iters": n_iters}
+            "iters": n_iters, "epochs": epochs,
+            "measured": "final epoch" if epochs > 1 else "all iterations"}
 
 
 def main(argv=None):
@@ -83,6 +96,10 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=40)
     p.add_argument("--refresh_counter", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=1,
+                   help=">1: warm the caches for epochs-1 reshuffled "
+                        "epochs, measure the final epoch only (steady "
+                        "state)")
     p.add_argument("--clustered", action="store_true", default=True,
                    help="community-structured graph (COALA's regime)")
     p.add_argument("--no-clustered", dest="clustered", action="store_false")
@@ -128,7 +145,7 @@ def main(argv=None):
     for mode in ("baseline", "node_color"):
         r = run_mode(mode, ds, meta, args.parts, args.batch_size, fanouts,
                      args.cache_mb, args.iters, args.refresh_counter,
-                     args.seed)
+                     args.seed, epochs=args.epochs)
         out[mode] = r
         print(f"{mode:12s} aggregate hit {r['aggregate']:.3f}  "
               f"per-host {r['per_host']}", file=sys.stderr, flush=True)
