@@ -100,6 +100,17 @@ def main():
         offsets = jnp.where(deg[:, None] <= fanout, seq_off, rand_off)
         if mode == "no_gather":
             nbr = dst[:, None] + offsets
+        elif mode == "sorted_gather":
+            # coalesce the HBM access: gather g.indices at SORTED edge
+            # positions (sequential-ish granules), then unsort. The unsort
+            # is itself a gather, but from a [n*f]-element array that fits
+            # VMEM — the cheap small-table regime.
+            pos = (starts[:, None] + offsets).reshape(-1)
+            order = jnp.argsort(pos)
+            vals = g.indices[pos[order]]
+            inv = jnp.zeros_like(order).at[order].set(
+                jnp.arange(pos.shape[0], dtype=order.dtype))
+            nbr = vals[inv].reshape(n, fanout)
         else:
             nbr = g.indices[starts[:, None] + offsets]
         nbr = jnp.where(mask, nbr, dst[:, None])
@@ -145,6 +156,7 @@ def main():
     for mode, impl in (("full", None), ("full_rbg", "rbg"),
                        ("bits_mod", None), ("no_rng", None),
                        ("no_gather", None), ("no_indptr", None),
+                       ("sorted_gather", None),
                        ("padded_table", None), ("padded_rowgather", None),
                        ("padded_rowgather_rbg", "rbg")):
         fn = make_fn(mode.replace("_rbg", ""), impl=impl)
