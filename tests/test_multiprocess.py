@@ -33,30 +33,38 @@ def _free_port():
     return port
 
 
-def _spawn(mode, n_procs=2, local_devices=2, timeout=300):
-    port = _free_port()
-    coord = f"127.0.0.1:{port}"
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                        f" --xla_force_host_platform_device_count="
-                        f"{local_devices}").strip()
-    env.pop("JAX_PLATFORMS", None)
-    procs = [subprocess.Popen(
-        [sys.executable, WORKER, mode, coord, str(n_procs), str(pid)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
-        for pid in range(n_procs)]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append((p.returncode, out, err))
-    for rc, out, err in outs:
+def _spawn(mode, n_procs=2, local_devices=2, timeout=300, attempts=2):
+    # _free_port() is bind-then-close: another process can steal the port
+    # before the coordinator binds it (observed as a rare rendezvous
+    # failure under concurrent load) — retry once with a fresh port.
+    last = None
+    for _ in range(attempts):
+        port = _free_port()
+        coord = f"127.0.0.1:{port}"
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count="
+                            f"{local_devices}").strip()
+        env.pop("JAX_PLATFORMS", None)
+        procs = [subprocess.Popen(
+            [sys.executable, WORKER, mode, coord, str(n_procs), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True) for pid in range(n_procs)]
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append((p.returncode, out, err))
+        if all(rc == 0 for rc, _, _ in outs):
+            return [o for _, o, _ in outs]
+        last = outs
+    for rc, out, err in last:
         assert rc == 0, f"worker failed rc={rc}\nstdout:\n{out}\nstderr:\n{err}"
-    return [o for _, o, _ in outs]
+    return [o for _, o, _ in last]
 
 
 def _grep(out, tag):
